@@ -1,0 +1,121 @@
+"""Hashing primitives shared by the engine and the single-process oracle.
+
+``xxh64`` is a bit-exact pure-Python implementation of XXH64 matching Spark's
+built-in ``xxhash64`` expression for STRING input (UTF-8 bytes, seed 42,
+result interpreted as signed int64). The oracle crawler uses it so that the
+deterministic tie-break ``(priority DESC, url_hash ASC)`` is identical between
+the Spark engine and the Python reference — verified by
+tests/test_hashing.py against live Spark output.
+
+Also: splittable hash family for the partitioned Bloom filter, and 64-bit
+mixers for minhash permutations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_MASK = 0xFFFFFFFFFFFFFFFF
+
+SPARK_XXHASH_SEED = 42
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _MASK
+
+
+def _round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _P2) & _MASK
+    acc = _rotl(acc, 31)
+    return (acc * _P1) & _MASK
+
+
+def _merge_round(acc: int, val: int) -> int:
+    acc ^= _round(0, val)
+    return (acc * _P1 + _P4) & _MASK
+
+
+def xxh64(data: bytes, seed: int = SPARK_XXHASH_SEED) -> int:
+    """XXH64 of ``data`` → signed int64 (Spark LongType convention)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _MASK
+        v2 = (seed + _P2) & _MASK
+        v3 = seed & _MASK
+        v4 = (seed - _P1) & _MASK
+        while i <= n - 32:
+            v1 = _round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _MASK
+        h = _merge_round(h, v1)
+        h = _merge_round(h, v2)
+        h = _merge_round(h, v3)
+        h = _merge_round(h, v4)
+    else:
+        h = (seed + _P5) & _MASK
+    h = (h + n) & _MASK
+    while i <= n - 8:
+        h ^= _round(0, int.from_bytes(data[i : i + 8], "little"))
+        h = (_rotl(h, 27) * _P1 + _P4) & _MASK
+        i += 8
+    if i <= n - 4:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _P1) & _MASK
+        h = (_rotl(h, 23) * _P2 + _P3) & _MASK
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _MASK
+        h = (_rotl(h, 11) * _P1) & _MASK
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _MASK
+    h ^= h >> 29
+    h = (h * _P3) & _MASK
+    h ^= h >> 32
+    # Spark's LongType is signed.
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def xxh64_str(s: str, seed: int = SPARK_XXHASH_SEED) -> int:
+    """xxhash64 of a Python string, identical to Spark's xxhash64(col)."""
+    return xxh64(s.encode("utf-8"), seed)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized 64-bit mixers (numpy) — Bloom hash family / minhash permutations.
+# ---------------------------------------------------------------------------
+
+def split_u64(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Split signed-int64 hashes into two independent uint64 streams
+    (Kirsch–Mitzenmacher double hashing: g_i = h1 + i*h2)."""
+    u = h.astype(np.uint64)
+    h1 = u
+    # finalizer-style remix for the second stream
+    h2 = u.copy()
+    h2 ^= h2 >> np.uint64(33)
+    h2 = h2 * np.uint64(0xFF51AFD7ED558CCD)
+    h2 ^= h2 >> np.uint64(33)
+    h2 = h2 * np.uint64(0xC4CEB9FE1A85EC53)
+    h2 ^= h2 >> np.uint64(33)
+    h2 |= np.uint64(1)  # force odd so strides cover the table
+    return h1, h2
+
+
+def mix64(h: np.ndarray, seed: int) -> np.ndarray:
+    """One cheap invertible 64-bit mix keyed by ``seed`` — the minhash
+    'permutation' family applied to pre-hashed shingles (uint64 in/out)."""
+    x = h.astype(np.uint64) ^ np.uint64(seed * 0x9E3779B97F4A7C15 & _MASK)
+    x ^= x >> np.uint64(30)
+    x = x * np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x = x * np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x

@@ -1,0 +1,170 @@
+"""Explicit StructTypes for every table in the engine.
+
+The reference keeps schemas fixed-by-convention on Python dicts/dataclasses
+(reference: backend/api/models.py:19-34, crawler/link_extractor.py:121-127,
+crawler/parser.py:249-253); here every schema is an explicit StructType — no
+inference anywhere (SURVEY §1.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# ---------------------------------------------------------------------------
+# pages — the Iceberg-style lake table of image+caption rows (BASELINE.json
+# input_hint shape, byte-for-byte).
+# ---------------------------------------------------------------------------
+PAGES = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("bytes", BinaryType(), True),
+        StructField("w", IntegerType(), True),
+        StructField("h", IntegerType(), True),
+        StructField("fmt", StringType(), True),
+        StructField("caption", StringType(), True),
+        StructField("phash", LongType(), True),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# urls — one row per crawlable page, 1:1 with pages on image_id (FIXTURES §2).
+# ---------------------------------------------------------------------------
+URLS = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("host", StringType(), False),
+        StructField("image_id", StringType(), False),
+        StructField("html_title", StringType(), True),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# links — raw extracted anchors, pre-normalization (reference:
+# crawler/link_extractor.py:121-127; raw href mix per FIXTURES §2).
+# ---------------------------------------------------------------------------
+LINKS = StructType(
+    [
+        StructField("src_url", StringType(), False),
+        StructField("href", StringType(), True),
+        StructField("pos", IntegerType(), False),
+        StructField("text", StringType(), True),
+        StructField("title", StringType(), True),
+        StructField("rel", ArrayType(StringType()), True),
+        StructField("has_fragment", BooleanType(), True),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# seeds — the reference bulk-CSV schema (reference: utils/csv_processor.py:10-16,
+# urls.csv.example:4-9). All columns read as string; normalization is explicit
+# column expressions in sources/seeds.py.
+# ---------------------------------------------------------------------------
+SEEDS_RAW = StructType(
+    [
+        StructField("url", StringType(), True),
+        StructField("mode", StringType(), True),
+        StructField("scope_class", StringType(), True),
+        StructField("scope_id", StringType(), True),
+        StructField("format", StringType(), True),
+        StructField("download_images", StringType(), True),
+        StructField("link_type", StringType(), True),
+        StructField("exclude_anchors", StringType(), True),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# robots — per-host politeness policy, broadcast side of J4 (north rule;
+# the reference only aspires to this: docs/dev-spec.md:1712).
+# ---------------------------------------------------------------------------
+ROBOTS = StructType(
+    [
+        StructField("host", StringType(), False),
+        StructField("disallow_prefixes", ArrayType(StringType()), True),
+        StructField("crawl_delay_ms", LongType(), True),
+        StructField("max_per_round", IntegerType(), True),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# frontier — the unit of schedulable work. Generalizes the reference's
+# CrawlRequest (backend/api/models.py:19-34): url + provenance + priority.
+# ---------------------------------------------------------------------------
+FRONTIER = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("url_hash", LongType(), False),
+        StructField("host", StringType(), True),
+        StructField("priority", DoubleType(), False),
+        StructField("depth", IntegerType(), False),
+        StructField("attempts", IntegerType(), False),
+        StructField("discovered_round", IntegerType(), False),
+        StructField("parent_url", StringType(), True),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# fetch_log — per-URL result rows; mirrors the reference's result/metadata
+# records (api/tasks.py:348-355, writer.py:286-308) and failure taxonomy
+# (utils/error_handler.py:87-296). FIXTURES §5 shape.
+# ---------------------------------------------------------------------------
+FETCH_LOG = StructType(
+    [
+        StructField("round", IntegerType(), False),
+        StructField("fetch_seq", LongType(), False),
+        StructField("url", StringType(), False),
+        StructField("url_hash", LongType(), False),
+        StructField("host", StringType(), True),
+        StructField("status", StringType(), False),  # success | failed | skipped
+        StructField("error_type", StringType(), True),
+        StructField("error_code", StringType(), True),
+        StructField("retry_possible", BooleanType(), True),
+        StructField("attempts", IntegerType(), False),
+        StructField("image_id", StringType(), True),
+        StructField("psnr_db", DoubleType(), True),
+        StructField("caption_ok", BooleanType(), True),
+        StructField("phash_dup", BooleanType(), True),
+        StructField("word_count", IntegerType(), True),
+        StructField("char_count", IntegerType(), True),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# seen — the exact URL-seen set (D4). One row per scheduled-and-settled URL.
+# Partition-aligned with the frontier on pmod(url_hash, N).
+# ---------------------------------------------------------------------------
+SEEN = StructType(
+    [
+        StructField("url_hash", LongType(), False),
+        StructField("url", StringType(), False),
+        StructField("settled_round", IntegerType(), False),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# metrics — per-round, per-partition lineage counters (north rule resume gate;
+# the reference's JobStore counter pattern, api/models.py:170-176, done right).
+# ---------------------------------------------------------------------------
+METRICS = StructType(
+    [
+        StructField("round", IntegerType(), False),
+        StructField("rows_in", LongType(), False),
+        StructField("rows_deduped", LongType(), False),
+        StructField("rows_robots_blocked", LongType(), False),
+        StructField("rows_selected", LongType(), False),
+        StructField("rows_fetched_ok", LongType(), False),
+        StructField("rows_failed", LongType(), False),
+        StructField("rows_retried", LongType(), False),
+        StructField("rows_discovered", LongType(), False),
+    ]
+)

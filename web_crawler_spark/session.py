@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+One place to pin every conf that correctness or reproducibility depends on:
+
+- ``spark.sql.session.timeZone=UTC`` — the reference stamps wall-clock Thailand-tz
+  datetimes (reference: backend/api/models.py:11-16); we instead make every timestamp
+  an explicit run parameter and pin the session TZ so Spark/DuckDB oracle comparisons
+  are stable.
+- ``spark.sql.shuffle.partitions`` — sized to cores for local runs; on a real cluster
+  this is set per-job (or left to AQE coalescing).
+- AQE on, with skew-join handling: skewed hosts are a first-class concern of the
+  frontier (Zipfian host distribution), handled by explicit salting for the window
+  operator plus AQE for the join side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "web-crawler-spark",
+    parallelism: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``parallelism`` sets ``local[N]`` when no master is configured externally —
+    on a real cluster you spark-submit with ``--py-files`` and this function
+    simply inherits the session master.
+    """
+    cpus = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or None
+    builder = SparkSession.builder.appName(app_name)
+    if cpus is not None and "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
+    n_shuffle = shuffle_partitions or cpus or 32
+    confs = {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.shuffle.partitions": str(n_shuffle),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Arrow for every pandas UDF / mapInPandas / toPandas hop.
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.ui.showConsoleProgress": "false",
+        "spark.ui.enabled": os.environ.get("SPARK_GRAFT_UI", "false"),
+        # Broadcast threshold: robots/mapping tables are small dims by design.
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    }
+    if extra_conf:
+        confs.update(extra_conf)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
