@@ -1,0 +1,95 @@
+"""W4: salted two-phase per-host selection ≡ naive single-window selection;
+robots broadcast-join filter; deterministic fetch_seq under parallelism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from web_crawler_spark.operators.politeness import (
+    assign_fetch_seq,
+    robots_filter,
+    select_per_host,
+)
+
+
+@pytest.fixture(scope="module")
+def frontier(spark):
+    # Zipf-skewed: host0 owns ~half the frontier (the mega-host case)
+    rng = np.random.RandomState(7)
+    n = 5000
+    hosts = [f"h{min(int(x), 19)}.com" for x in rng.zipf(1.3, n) - 1]
+    rows = [
+        (
+            f"https://{hosts[i]}/p/{i}",
+            int(rng.randint(-(2**62), 2**62)),
+            hosts[i],
+            float(rng.randint(0, 5)),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ["url", "url_hash", "host", "priority"])
+
+
+@pytest.fixture(scope="module")
+def robots(spark):
+    rows = [(f"h{i}.com", ["/private/"] if i % 3 == 0 else [], 100, 2 + i % 5) for i in range(20)]
+    return spark.createDataFrame(
+        rows, ["host", "disallow_prefixes", "crawl_delay_ms", "max_per_round"]
+    )
+
+
+def _naive_select(frontier, robots, default_budget=4):
+    budgeted = frontier.join(
+        robots.select("host", "max_per_round"), "host", "left"
+    ).withColumn("b", F.coalesce("max_per_round", F.lit(default_budget)))
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url_hash"))
+    return (
+        budgeted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("b"))
+        .select("url", "url_hash", "host", "priority")
+    )
+
+
+def test_two_phase_equals_naive(spark, frontier, robots):
+    fast = select_per_host(frontier, robots, salt_buckets=16).select(
+        "url", "url_hash", "host", "priority"
+    )
+    naive = _naive_select(frontier, robots)
+    assert fast.count() == naive.count()
+    assert fast.exceptAll(naive).count() == 0
+    assert naive.exceptAll(fast).count() == 0
+
+
+def test_budget_respected(spark, frontier, robots):
+    sel = select_per_host(frontier, robots)
+    per_host = sel.groupBy("host").count().collect()
+    budgets = {r.host: r.max_per_round for r in robots.collect()}
+    for r in per_host:
+        assert r["count"] <= budgets.get(r.host, 4), r
+
+
+def test_robots_filter_blocks_prefixes(spark, robots):
+    fr = spark.createDataFrame(
+        [
+            ("https://h0.com/private/x", 1, "h0.com", 0.0),
+            ("https://h0.com/public/x", 2, "h0.com", 0.0),
+            ("https://h1.com/private/x", 3, "h1.com", 0.0),  # h1 has no rules
+            ("https://unknown.com/a", 4, "unknown.com", 0.0),  # no robots row
+        ],
+        ["url", "url_hash", "host", "priority"],
+    )
+    allowed, blocked = robots_filter(fr, robots)
+    assert {r.url_hash for r in blocked.collect()} == {1}
+    assert {r.url_hash for r in allowed.collect()} == {2, 3, 4}
+
+
+def test_fetch_seq_deterministic_across_parallelism(spark, frontier, robots):
+    sel = select_per_host(frontier, robots)
+    a = assign_fetch_seq(sel.repartition(32)).select("fetch_seq", "url").collect()
+    b = assign_fetch_seq(sel.repartition(2)).select("fetch_seq", "url").collect()
+    assert sorted((r.fetch_seq, r.url) for r in a) == sorted(
+        (r.fetch_seq, r.url) for r in b
+    )

@@ -1,0 +1,132 @@
+"""The north-rule round-trip check: the Spark engine must reproduce the
+single-process oracle crawler's exact fetch ordering (round, fetch_seq, url)
+and final URL-seen set for the same seed list and politeness budget."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from tests.oracle.crawler import OracleCrawler
+from web_crawler_spark.plans.round import CrawlConfig, CrawlRun
+from web_crawler_spark.sources.fixtures import generate_site, load_fixture
+
+N_PAGES = 250
+N_HOSTS = 15
+MAX_ROUNDS = 6
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("site"))
+    generate_site(d, n_pages=N_PAGES, n_hosts=N_HOSTS, n_seeds=8, neardup_rate=0.12)
+    return d
+
+
+@pytest.fixture(scope="module")
+def oracle_result(fixture_dir):
+    seeds = pd.read_csv(f"{fixture_dir}/seeds.csv")
+    oc = OracleCrawler.from_fixture(fixture_dir)
+    oc.start(list(seeds.url))
+    metrics = oc.run(max_rounds=MAX_ROUNDS)
+    return oc, metrics
+
+
+@pytest.fixture(scope="module")
+def engine_result(spark, fixture_dir, tmp_path_factory):
+    seeds = pd.read_csv(f"{fixture_dir}/seeds.csv")
+    seeds_df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(seeds.url)], ["row_index", "url"]
+    )
+    run = CrawlRun(
+        spark,
+        str(tmp_path_factory.mktemp("run")),
+        urls=load_fixture(spark, fixture_dir, "urls"),
+        links=load_fixture(spark, fixture_dir, "links"),
+        pages=load_fixture(spark, fixture_dir, "pages"),
+        robots=load_fixture(spark, fixture_dir, "robots"),
+        config=CrawlConfig(max_rounds=MAX_ROUNDS),
+    )
+    run.start(seeds_df)
+    metrics = run.run()
+    return run, metrics
+
+
+def _norm_log(rows) -> list[tuple]:
+    """Comparable projection of fetch_log rows; psnr rounded to 6 decimals."""
+    out = []
+    for r in rows:
+        psnr = r["psnr_db"]
+        if psnr is not None and not (isinstance(psnr, float) and math.isnan(psnr)):
+            psnr = round(psnr, 6)
+        out.append(
+            (
+                r["round"],
+                r["fetch_seq"],
+                r["url"],
+                r["status"],
+                r["error_type"],
+                r["error_code"],
+                r["attempts"],
+                psnr,
+                r["caption_ok"],
+                r["phash_dup"],
+                r["word_count"],
+                r["char_count"],
+            )
+        )
+    # fetched rows are ordered by (round, fetch_seq); skipped rows (seq 0)
+    # have no ordering contract → sort by url within (round, 0)
+    return sorted(out, key=lambda t: (t[0], t[1], t[2]))
+
+
+def test_fetch_log_matches_oracle(spark, oracle_result, engine_result):
+    oc, _ = oracle_result
+    run, _ = engine_result
+    engine_rows = [
+        row.asDict() for row in run.fetch_log_t.read(spark).collect()
+    ]
+    got = _norm_log(engine_rows)
+    want = _norm_log(oc.fetch_log)
+    assert len(got) == len(want)
+    # pinpoint the first divergence for debuggability
+    for g, w in zip(got, want):
+        assert g == w, f"engine={g}\noracle={w}"
+
+
+def test_seen_set_matches_oracle(spark, oracle_result, engine_result):
+    oc, _ = oracle_result
+    run, _ = engine_result
+    engine_seen = {
+        r.url_hash for r in run.seen_t.read(spark).select("url_hash").collect()
+    }
+    assert engine_seen == set(oc.seen.keys())
+
+
+def test_metrics_match_oracle(oracle_result, engine_result):
+    _, om = oracle_result
+    _, em = engine_result
+    assert len(em) == len(om)
+    for e, o in zip(em, om):
+        assert e == o, f"engine={e}\noracle={o}"
+
+
+def test_crawl_made_progress(oracle_result):
+    oc, metrics = oracle_result
+    total_ok = sum(m["rows_fetched_ok"] for m in metrics)
+    assert total_ok > 20
+    # the taxonomy is exercised: 404s, timeouts+retries, robots blocks
+    codes = {r["error_code"] for r in oc.fetch_log}
+    assert "404" in codes
+    assert "TIMEOUT" in codes
+    assert "ROBOTS_DISALLOWED" in codes
+    assert "INVALID_URL" in codes
+    # retries actually succeeded after their transient failure
+    retried_ok = {
+        r["url"] for r in oc.fetch_log if r["status"] == "success" and r["attempts"] > 0
+    }
+    assert retried_ok
+    # near-dup suppression fired
+    assert any(r["phash_dup"] for r in oc.fetch_log)

@@ -1,0 +1,190 @@
+"""Partitioned Bloom filter — the approximate tier of the URL-seen set (D4).
+
+At 10^10 frontier URLs the exact seen table is ~10^10 rows; an anti-join of
+every candidate against it each round works but pays a full shuffle of the
+candidate set against a 10^10-row build side. The Bloom tier shrinks that:
+
+- One Bloom blob per hash-range partition: pkey = pmod(url_hash, P).
+  At 14 bits/key and 10^10 keys the filter is ~17.5 GB *total*, but each of
+  P=1024 partitions is ~17 MB — executor-memory sized, storable as binary
+  blobs in a snapshot table, mergeable by OR.
+- Probe is co-partitioned: candidates are grouped by pkey and each group is
+  tested against *its own* blob via ``applyInPandas`` (Arrow batches, numpy
+  bit tests) — no task ever needs the whole filter, so the layout survives a
+  1000-executor cluster unchanged.
+- **Exactness never depends on the filter** (north rule): might_contain=False
+  rows are definite negatives and skip the exact anti-join; positives (real
+  or false) are confirmed against the exact seen table. False-positive rate
+  only moves the split point, not the answer.
+
+Hash family: Kirsch–Mitzenmacher double hashing g_i = h1 + i·h2 over the two
+streams split from the existing xxhash64 url_hash — no re-hashing of strings.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..functions.hashing import split_u64
+
+BLOB_SCHEMA = StructType(
+    [
+        StructField("pkey", IntegerType(), False),
+        StructField("bits", BinaryType(), False),
+    ]
+)
+
+_PROBE_SCHEMA = StructType(
+    [
+        StructField("url_hash", LongType(), False),
+        StructField("might_contain", BooleanType(), False),
+    ]
+)
+
+
+def _set_bits(bits: np.ndarray, hashes: np.ndarray, m: int, k: int) -> None:
+    h1, h2 = split_u64(hashes)
+    for i in range(k):
+        idx = ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
+        np.bitwise_or.at(bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+
+
+def _test_bits(bits: np.ndarray, hashes: np.ndarray, m: int, k: int) -> np.ndarray:
+    h1, h2 = split_u64(hashes)
+    out = np.ones(len(hashes), dtype=bool)
+    for i in range(k):
+        idx = ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
+        out &= (bits[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
+    return out
+
+
+class PartitionedBloom:
+    """P independent Bloom blobs keyed by pmod(url_hash, P)."""
+
+    def __init__(self, n_partitions: int, bits_per_partition: int, n_hashes: int):
+        if bits_per_partition % 8:
+            bits_per_partition += 8 - bits_per_partition % 8
+        self.p = n_partitions
+        self.m = bits_per_partition
+        self.k = n_hashes
+        self.blobs: dict[int, np.ndarray] = {}
+
+    @classmethod
+    def sized_for(
+        cls, expected_keys: int, n_partitions: int = 64, bits_per_key: int = 14
+    ) -> "PartitionedBloom":
+        m = max(1024, int(bits_per_key * expected_keys / n_partitions))
+        k = max(1, round(0.693 * bits_per_key))
+        return cls(n_partitions, m, k)
+
+    # -- driver-side (small batches, oracle parity, tests) ----------------
+
+    def add_hashes(self, hashes: np.ndarray | list[int]) -> None:
+        h = np.asarray(hashes, dtype=np.int64)
+        pk = (h % self.p + self.p) % self.p
+        for key in np.unique(pk):
+            blob = self.blobs.setdefault(int(key), np.zeros(self.m // 8, np.uint8))
+            _set_bits(blob, h[pk == key], self.m, self.k)
+
+    def might_contain(self, hashes: np.ndarray | list[int]) -> np.ndarray:
+        h = np.asarray(hashes, dtype=np.int64)
+        pk = (h % self.p + self.p) % self.p
+        out = np.zeros(len(h), dtype=bool)
+        for key in np.unique(pk):
+            blob = self.blobs.get(int(key))
+            if blob is None:
+                continue
+            sel = pk == key
+            out[sel] = _test_bits(blob, h[sel], self.m, self.k)
+        return out
+
+    # -- distributed build / probe ----------------------------------------
+
+    def build_from(self, df: DataFrame, hash_col: str = "url_hash") -> None:
+        """Distributed build: one applyInPandas task per hash-range partition
+        emits its blob; blobs OR-merge into the current filter."""
+        m, k, p = self.m, self.k, self.p
+
+        def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            bits = np.zeros(m // 8, dtype=np.uint8)
+            _set_bits(bits, pdf["h"].to_numpy(np.int64), m, k)
+            return pd.DataFrame({"pkey": [int(pdf["pkey"].iloc[0])], "bits": [bits.tobytes()]})
+
+        rows = (
+            df.select(
+                F.col(hash_col).alias("h"),
+                F.pmod(F.col(hash_col), F.lit(p)).cast("int").alias("pkey"),
+            )
+            .groupBy("pkey")
+            .applyInPandas(build_group, BLOB_SCHEMA)
+            .collect()
+        )
+        for r in rows:
+            blob = np.frombuffer(r.bits, dtype=np.uint8).copy()
+            if r.pkey in self.blobs:
+                self.blobs[r.pkey] |= blob
+            else:
+                self.blobs[r.pkey] = blob
+
+    def probe(self, df: DataFrame, hash_col: str = "url_hash") -> DataFrame:
+        """Attach a ``might_contain`` column, co-partitioned by pkey.
+
+        Sandbox-scale implementation broadcasts the blob dict (a few MB); the
+        blobs-as-table + cogroup variant for cluster scale is the same grouped
+        computation with the blob joined in by pkey instead of broadcast.
+        """
+        m, k, p = self.m, self.k, self.p
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast(
+            {key: blob.tobytes() for key, blob in self.blobs.items()}
+        )
+
+        @F.pandas_udf(BooleanType())
+        def _probe(h: pd.Series) -> pd.Series:
+            hv = h.to_numpy(np.int64)
+            pk = (hv % p + p) % p
+            out = np.zeros(len(hv), dtype=bool)
+            blobs = bc.value
+            for key in np.unique(pk):
+                raw = blobs.get(int(key))
+                if raw is None:
+                    continue
+                sel = pk == key
+                out[sel] = _test_bits(
+                    np.frombuffer(raw, dtype=np.uint8), hv[sel], m, k
+                )
+            return pd.Series(out)
+
+        return df.withColumn("might_contain", _probe(F.col(hash_col)))
+
+    # -- persistence (resume) ----------------------------------------------
+
+    def to_rows(self) -> list[tuple[int, bytes]]:
+        return [(key, blob.tobytes()) for key, blob in sorted(self.blobs.items())]
+
+    @classmethod
+    def from_rows(
+        cls, rows, n_partitions: int, bits_per_partition: int, n_hashes: int
+    ) -> "PartitionedBloom":
+        bf = cls(n_partitions, bits_per_partition, n_hashes)
+        for key, raw in rows:
+            bf.blobs[int(key)] = np.frombuffer(raw, dtype=np.uint8).copy()
+        return bf
+
+    def fp_rate(self, n_keys: int) -> float:
+        """Theoretical false-positive rate at n_keys total inserted keys."""
+        n_per = n_keys / self.p
+        return (1 - math.exp(-self.k * n_per / self.m)) ** self.k

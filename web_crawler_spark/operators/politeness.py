@@ -1,0 +1,99 @@
+"""Per-host politeness: robots filtering + budgeted priority selection (W4/J4).
+
+The reference only aspires to robots/rate limiting (docs/dev-spec.md:1708-1712);
+the north rule makes them first-class:
+
+- ``robots_filter``: broadcast join of the small per-host policy table against
+  the frontier; rows under a disallowed path prefix are dropped (counted).
+- ``select_per_host``: pick ≤ budget URLs per host per round by
+  (priority DESC, url_hash ASC). Skew-safe two-phase plan: Zipfian hosts mean
+  one host can own 30% of the frontier, so a naive Window.partitionBy(host)
+  sends that host's entire frontier through one task. Phase 1 ranks within
+  (host, salt) — pmod(url_hash, S) spreads a mega-host over S tasks — and
+  prunes each bucket to the budget; phase 2 ranks the ≤ S*budget survivors
+  per host exactly. Per-host top-k ⊆ union of per-(host,salt) top-k, so the
+  two-phase result is identical to the naive one (verified in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import urls as U
+
+DEFAULT_HOST_BUDGET = 4
+DEFAULT_SALT_BUCKETS = 16
+
+
+def robots_filter(
+    frontier: DataFrame, robots: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Split frontier into (allowed, blocked) under per-host disallow prefixes.
+
+    The robots table is a small dim (one row per host) → broadcast hash join,
+    no shuffle of the frontier.
+    """
+    path = F.coalesce(U.url_path(F.col("url")), F.lit("/"))
+    joined = frontier.join(
+        F.broadcast(robots.select("host", "disallow_prefixes")), "host", "left"
+    ).withColumn(
+        "__blocked",
+        F.exists(
+            F.coalesce(F.col("disallow_prefixes"), F.array()),
+            lambda p: path.startswith(p),
+        ),
+    )
+    allowed = joined.filter(~F.col("__blocked")).drop("__blocked", "disallow_prefixes")
+    blocked = joined.filter(F.col("__blocked")).drop("__blocked", "disallow_prefixes")
+    return allowed, blocked
+
+
+def with_host_budget(
+    frontier: DataFrame, robots: DataFrame, default_budget: int = DEFAULT_HOST_BUDGET
+) -> DataFrame:
+    """Attach the per-host round budget (robots.max_per_round, else default)."""
+    return frontier.join(
+        F.broadcast(robots.select("host", "max_per_round")), "host", "left"
+    ).withColumn(
+        "host_budget", F.coalesce(F.col("max_per_round"), F.lit(default_budget))
+    ).drop("max_per_round")
+
+
+def select_per_host(
+    frontier: DataFrame,
+    robots: DataFrame,
+    default_budget: int = DEFAULT_HOST_BUDGET,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+) -> DataFrame:
+    """W4: ≤ budget rows per host, by (priority DESC, url_hash ASC), two-phase."""
+    budgeted = with_host_budget(frontier, robots, default_budget)
+    order = [F.col("priority").desc(), F.col("url_hash").asc()]
+    # Phase 1: prune within (host, salt) — caps any single task's input.
+    salt = F.pmod(F.col("url_hash"), F.lit(salt_buckets))
+    w1 = Window.partitionBy(F.col("host"), salt).orderBy(*order)
+    pruned = (
+        budgeted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= F.col("host_budget"))
+        .drop("__r1")
+    )
+    # Phase 2: exact per-host rank over ≤ salt_buckets*budget rows per host.
+    w2 = Window.partitionBy("host").orderBy(*order)
+    return (
+        pruned.withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= F.col("host_budget"))
+        .drop("__r2", "host_budget")
+    )
+
+
+def assign_fetch_seq(batch: DataFrame) -> DataFrame:
+    """Deterministic total order within the round: fetch_seq by
+    (priority DESC, url_hash ASC).
+
+    This is a single-partition window — acceptable because the *selected
+    batch* is bounded by Σ host budgets (politeness caps it), not by frontier
+    size; the frontier-sized stages above stay fully parallel. The total
+    order is what makes N- and 4N-core runs byte-identical (north rule).
+    """
+    w = Window.orderBy(F.col("priority").desc(), F.col("url_hash").asc())
+    return batch.withColumn("fetch_seq", F.row_number().over(w).cast("long"))

