@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship frontier-scheduling round (SURVEY §7 minimum
+  slice) over sf0.001 testdata — synthesized frontier → skew-safe per-host
+  budgeted selection → deterministic fetch order.
+- ``queries()`` / ``oracle_sql()``: one entry per implemented operator
+  family from SURVEY §2 plus the training-data pipeline operators
+  (dedup / text analysis / similarity search / multimodal plumbing).
+  All pairs live in ``web_crawler_spark.plans.analytics`` so library code
+  and the driver contract stay in one place.
 """
 
 from __future__ import annotations
@@ -13,26 +16,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from web_crawler_spark.plans.analytics import REGISTRY, q_frontier_schedule
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_frontier_schedule(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each query (omitted entries get the
+    driver's weaker rows-only check)."""
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,120 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at sf0.01, then compares row count, sorted column names, and an
+order-insensitive value comparison (exact for ints/strings/dates, equality
+after the queries' own rounding for doubles).
+
+Usage: python scripts/check_oracle.py [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes for comparison
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(sdf.columns) != sorted(ddf.columns):
+        problems.append(f"columns differ: spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}")
+        return problems
+    if len(sdf) != len(ddf):
+        problems.append(f"row count differs: spark={len(sdf)} duck={len(ddf)}")
+    s = canon(sdf)
+    d = canon(ddf)
+    n = min(len(s), len(d))
+    bad = 0
+    for i in range(n):
+        for c in s.columns:
+            if not values_equal(s[c].iloc[i], d[c].iloc[i]):
+                if bad < 3:
+                    problems.append(
+                        f"row {i} col {c}: spark={s[c].iloc[i]!r} duck={d[c].iloc[i]!r}"
+                    )
+                bad += 1
+    if bad:
+        problems.append(f"... {bad} mismatched cells total")
+    return problems
+
+
+def main():
+    only = set(sys.argv[1:])
+    import __spark_entry__ as E
+    from web_crawler_spark.session import get_spark
+
+    spark = get_spark("oracle-check", parallelism=8)
+    con = duckdb.connect()
+    for tbl in TABLES:
+        con.sql(f"CREATE VIEW {tbl} AS SELECT * FROM '{SF_DIR}/{tbl}.parquet'")
+
+    qs = E.queries()
+    sqls = E.oracle_sql()
+    n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        import time
+
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {ex}")
+            n_fail += 1
+            continue
+        t1 = time.time()
+        sql = sqls.get(name)
+        if sql is None:
+            print(f"ok?  {name}: rows-only ({len(sdf)} rows, {t1-t0:.1f}s) — no oracle")
+            continue
+        try:
+            ddf = con.sql(sql).df()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {ex}")
+            n_fail += 1
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name} ({len(sdf)} vs {len(ddf)} rows):")
+            for p in problems:
+                print(f"  - {p}")
+        else:
+            print(f"PASS {name} ({len(sdf)} rows, spark {t1-t0:.1f}s)")
+    print(f"\n{n_fail} failures")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

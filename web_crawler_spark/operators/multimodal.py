@@ -1,0 +1,214 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Beyond-reference additions for the training-data pipeline. The reference
+stores image bytes only as files on disk (crawler/image_downloader.py:126-132);
+here media rides in ``binary`` columns with typed metadata, and decode /
+feature-extract / resize / frame-sample run as Arrow-batched functions over
+``mapInPandas`` — the pattern that holds at 100 TB (media bytes never leave
+the executor, Arrow batches bound memory, the decode stage is a narrow map).
+
+Decode reality in this sandbox: the deterministic WCSI codec
+(functions/images.py) stands in for PNG/JPEG/WebP; real-codec decode is
+STUBBED behind ``NotImplementedError`` (PIL/ffmpeg are not in the container).
+The Spark-side plumbing — schemas, batch shapes, UDF signatures, partition
+strategy — is real and tested; swapping in a real codec touches only
+``_decode_blob``.
+
+Synthetic video layout: length-prefixed concatenation of WCSI frames
+(4-byte little-endian frame length, then the frame blob), so frame
+sampling is pure byte slicing — no codec in the hot loop.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions import images as I
+
+MEDIA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("bytes", BinaryType(), True),
+        StructField("fmt", StringType(), True),
+        StructField("w", IntegerType(), True),
+        StructField("h", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("caption", StringType(), True),
+    ]
+)
+
+FEATURES_SCHEMA = (
+    "media_id string, decoded boolean, w int, h int, "
+    "mean_r double, mean_g double, mean_b double, phash bigint"
+)
+
+_MAGIC_HEX = {
+    "WCSI": "57435349",
+    "png": "89504e47",
+    "jpeg": "ffd8ff",
+    "webp_riff": "52494646",
+}
+
+
+def sniff_format(blob) -> F.Column:
+    """Container sniff from magic bytes — pure column expr, no decode."""
+    head = F.lower(F.hex(F.substring(blob, 1, 4)))
+    return (
+        F.when(head.startswith(_MAGIC_HEX["WCSI"]), F.lit("wcsi"))
+        .when(head.startswith(_MAGIC_HEX["png"]), F.lit("png"))
+        .when(head.startswith(_MAGIC_HEX["jpeg"]), F.lit("jpeg"))
+        .when(head.startswith(_MAGIC_HEX["webp_riff"]), F.lit("webp"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def media_meta(df: DataFrame, *, bytes_col: str = "bytes") -> DataFrame:
+    """Cheap per-row metadata: size, sha256, sniffed container. No decode,
+    stays entirely JVM-side (whole-stage codegen)."""
+    b = F.col(bytes_col)
+    return df.withColumns(
+        {
+            "n_bytes": F.coalesce(F.octet_length(b), F.lit(0)),
+            "sha256": F.sha2(b, 256),
+            "sniffed_fmt": sniff_format(b),
+        }
+    )
+
+
+def _decode_blob(blob: bytes) -> np.ndarray:
+    """Decode one media blob to (h, w, 3) uint8 pixels.
+
+    WCSI decodes deterministically; real containers need a codec library
+    that is absent in this sandbox → explicit stub (the caller converts the
+    error to an error-taxonomy row, never an exception escaping the UDF).
+    """
+    if blob[:4] == b"WCSI":
+        return I.decode_image(blob)
+    raise NotImplementedError(
+        "real-codec decode (PNG/JPEG/WebP) requires PIL; not available here"
+    )
+
+
+def extract_features(df: DataFrame, *, bytes_col: str = "bytes") -> DataFrame:
+    """Decode + feature-extract via ``mapInPandas``: per-channel means and a
+    perceptual hash. Narrow map — one Arrow batch in, one out; undecodable
+    rows yield decoded=false rows (error-as-data, E1 discipline)."""
+    cols = ["media_id", bytes_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf[bytes_col]):
+                row = {
+                    "media_id": mid, "decoded": False, "w": None, "h": None,
+                    "mean_r": None, "mean_g": None, "mean_b": None, "phash": None,
+                }
+                if blob is not None:
+                    try:
+                        px = _decode_blob(bytes(blob))
+                        means = px.astype(np.float64).mean(axis=(0, 1))
+                        row.update(
+                            decoded=True, w=int(px.shape[1]), h=int(px.shape[0]),
+                            mean_r=float(means[0]), mean_g=float(means[1]),
+                            mean_b=float(means[2]), phash=I.phash64(px),
+                        )
+                    except (ValueError, zlib.error, NotImplementedError):
+                        pass
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    return df.select(*cols).mapInPandas(run, FEATURES_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame, *, out_w: int, out_h: int, bytes_col: str = "bytes"
+) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode (WCSI png profile).
+
+    Nearest-neighbor keeps the kernel dependency-free and deterministic;
+    a real pipeline swaps the one numpy line for a library resampler.
+    Output: (media_id, bytes) with resized encodings; undecodable → NULL.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_blobs = [], []
+            for mid, blob in zip(pdf["media_id"], pdf[bytes_col]):
+                out_ids.append(mid)
+                if blob is None:
+                    out_blobs.append(None)
+                    continue
+                try:
+                    px = _decode_blob(bytes(blob))
+                except (ValueError, zlib.error, NotImplementedError):
+                    out_blobs.append(None)
+                    continue
+                h, w = px.shape[:2]
+                yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                out_blobs.append(I.encode_image(px[yi][:, xi], "png"))
+            yield pd.DataFrame({"media_id": out_ids, "bytes": out_blobs})
+
+    return df.select("media_id", bytes_col).mapInPandas(run, "media_id string, bytes binary")
+
+
+# ---------------------------------------------------------------------------
+# Synthetic video: length-prefixed WCSI frame stream
+# ---------------------------------------------------------------------------
+
+def pack_frames(frames: list[bytes]) -> bytes:
+    """Concatenate frames with 4-byte little-endian length prefixes."""
+    return b"".join(len(f).to_bytes(4, "little") + f for f in frames)
+
+
+def unpack_frames(blob: bytes) -> list[bytes]:
+    out, i = [], 0
+    while i + 4 <= len(blob):
+        n = int.from_bytes(blob[i : i + 4], "little")
+        out.append(blob[i + 4 : i + 4 + n])
+        i += 4 + n
+    return out
+
+
+def sample_frames(
+    df: DataFrame, *, every: int = 2, bytes_col: str = "bytes"
+) -> DataFrame:
+    """Explode every ``every``-th frame of a packed video column.
+
+    Output (media_id, frame_idx, frame_bytes). Byte slicing only — the
+    decode cost is deferred to whichever downstream stage needs pixels.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, blobs = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf[bytes_col]):
+                if blob is None:
+                    continue
+                for j, fr in enumerate(unpack_frames(bytes(blob))):
+                    if j % every == 0:
+                        ids.append(mid)
+                        idxs.append(j)
+                        blobs.append(fr)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_bytes": blobs}
+            )
+
+    return df.select("media_id", bytes_col).mapInPandas(
+        run, "media_id string, frame_idx int, frame_bytes binary"
+    )

@@ -60,6 +60,40 @@ def with_host_budget(
     ).drop("max_per_round")
 
 
+def two_phase_topk(
+    df: DataFrame,
+    key_cols: list[str],
+    order: list,
+    budget,
+    salt_col,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+) -> DataFrame:
+    """Generic skew-safe per-key top-k (the W4 pattern, reusable).
+
+    Phase 1 ranks within (key, salt) so a mega-key spreads over
+    ``salt_buckets`` tasks; phase 2 ranks the ≤ buckets·budget survivors per
+    key exactly. Per-key top-k ⊆ union of per-(key,salt) top-k, so the
+    result is identical to the naive single window (verified in tests).
+    ``budget`` may be an int or a Column; ``salt_col`` any deterministic
+    integer Column (e.g. a hash of the row key).
+    """
+    budget_col = F.lit(budget) if isinstance(budget, int) else budget
+    salt = F.pmod(salt_col, F.lit(salt_buckets))
+    w1 = Window.partitionBy(*[F.col(c) for c in key_cols], salt).orderBy(*order)
+    pruned = (
+        df.withColumn("__budget", budget_col)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= F.col("__budget"))
+        .drop("__r1")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        pruned.withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= F.col("__budget"))
+        .drop("__r2", "__budget")
+    )
+
+
 def select_per_host(
     frontier: DataFrame,
     robots: DataFrame,
@@ -69,21 +103,14 @@ def select_per_host(
     """W4: ≤ budget rows per host, by (priority DESC, url_hash ASC), two-phase."""
     budgeted = with_host_budget(frontier, robots, default_budget)
     order = [F.col("priority").desc(), F.col("url_hash").asc()]
-    # Phase 1: prune within (host, salt) — caps any single task's input.
-    salt = F.pmod(F.col("url_hash"), F.lit(salt_buckets))
-    w1 = Window.partitionBy(F.col("host"), salt).orderBy(*order)
-    pruned = (
-        budgeted.withColumn("__r1", F.row_number().over(w1))
-        .filter(F.col("__r1") <= F.col("host_budget"))
-        .drop("__r1")
-    )
-    # Phase 2: exact per-host rank over ≤ salt_buckets*budget rows per host.
-    w2 = Window.partitionBy("host").orderBy(*order)
-    return (
-        pruned.withColumn("__r2", F.row_number().over(w2))
-        .filter(F.col("__r2") <= F.col("host_budget"))
-        .drop("__r2", "host_budget")
-    )
+    return two_phase_topk(
+        budgeted,
+        ["host"],
+        order,
+        F.col("host_budget"),
+        F.col("url_hash"),
+        salt_buckets,
+    ).drop("host_budget")
 
 
 def assign_fetch_seq(batch: DataFrame) -> DataFrame:

@@ -1,0 +1,284 @@
+"""Embedding similarity search over an ``array<float>`` column.
+
+Beyond-reference additions for the training-data pipeline (the reference has
+no vector operations; its only similarity notion is the phash column of the
+pages table — SURVEY §1.1):
+
+- ``cosine_topk``       brute-force exact top-k (the correctness baseline)
+- ``lsh_assign`` / ``ann_lsh_topk``
+                        random-hyperplane LSH bucketing — the scale path:
+                        candidates come from the query's bucket only
+- ``neardup_pairs``     near-duplicate pairs (cosine ≥ τ) within LSH buckets
+- ``cosine_topk_numpy`` Arrow-batched numpy fast path (mapInPandas)
+
+Determinism contract: embeddings are quantized to int64 at 1e6 scale first,
+so every dot product and norm is **exact integer arithmetic**; cosine is a
+single double division of exact ints. This makes results bit-identical
+across engines (the DuckDB oracle replays the same algorithm) and across
+cluster sizes. Hyperplane signs derive from ``md5_long('hp:p:d')`` parity —
+no RNG, no driver state.
+
+Scale notes (100 TB):
+- brute force is O(|Q|·|C|): fine for |Q| small (re-ranking, eval); the
+  bucketed path is O(|C|) build + per-query bucket scan.
+- the corpus→bucket assignment is a narrow projection (no shuffle); the
+  query-candidate join is an equi-join on bucket id, broadcast when the
+  query set is small.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+QUANT_SCALE = 1_000_000
+DEFAULT_PLANES = 12
+
+
+def _py_md5_long(s: str) -> int:
+    """Driver-side twin of functions.text.md5_long (verified in tests)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def plane_sign(p: int, d: int) -> int:
+    """Deterministic ±1 hyperplane component from md5 parity."""
+    return 1 if _py_md5_long(f"hp:{p}:{d}") % 2 == 0 else -1
+
+
+def quantize(vec) -> F.Column:
+    """array<float> → array<bigint> at 1e6 scale (exact from here on)."""
+    return F.transform(vec, lambda x: F.round(x.cast("double") * QUANT_SCALE).cast("long"))
+
+
+def dot_q(a, b) -> F.Column:
+    """Exact integer dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_q(a, b) -> F.Column:
+    """Cosine from exact integer dot/norms; single double division."""
+    return (
+        dot_q(a, b).cast("double")
+        / F.sqrt(dot_q(a, a).cast("double"))
+        / F.sqrt(dot_q(b, b).cast("double"))
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_queries: int | None = 32,
+) -> DataFrame:
+    """Brute-force exact cosine top-k: each query row against the corpus.
+
+    Output (query_id, neighbor_id, rank, cosine·4dp); self-matches excluded;
+    ties broken by neighbor_id asc so results are a total order.
+    """
+    q = corpus.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    if n_queries is not None:
+        q = q.filter(F.col("query_id") < n_queries)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_q(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def lsh_assign(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = DEFAULT_PLANES,
+    dims: int = 64,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector.
+
+    bucket = Σ_p (1<<p if Σ_d sign(p,d)·v_d > 0). The ±1 planes are literal
+    constants in the plan (md5-parity derived, see ``plane_sign``), so the
+    whole assignment is a narrow whole-stage-codegen projection — no
+    shuffle, no RNG, reproducible on any cluster size.
+    """
+    qv = quantize(F.col(vec_col))
+    bucket = None
+    for p in range(planes):
+        signs = [plane_sign(p, d) for d in range(dims)]
+        proj = F.aggregate(
+            F.zip_with(
+                qv,
+                F.array(*[F.lit(s).cast("long") for s in signs]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bit if bucket is None else bucket + bit
+    return df.select(
+        F.col(id_col).alias("vec_id_b"), qv.alias("qvec"), bucket.alias("bucket")
+    )
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    planes: int = DEFAULT_PLANES,
+    dims: int = 64,
+    n_queries: int | None = 32,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    Output (query_id, neighbor_id, rank, cosine·4dp). Recall is tunable via
+    ``planes`` (fewer planes → bigger buckets → higher recall, more work).
+    The DuckDB oracle replays the same bucketing, so the check is exact even
+    though the algorithm is approximate.
+    """
+    from pyspark.sql import Window
+
+    assigned = lsh_assign(
+        corpus, id_col=id_col, vec_col=vec_col, planes=planes, dims=dims
+    )
+    q = assigned.select(
+        F.col("vec_id_b").alias("query_id"),
+        F.col("qvec").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    if n_queries is not None:
+        q = q.filter(F.col("query_id") < n_queries)
+    c = assigned.select(
+        F.col("vec_id_b").alias("neighbor_id"),
+        F.col("qvec").alias("cv"),
+        F.col("bucket").alias("cbucket"),
+    )
+    scored = (
+        q.join(c, F.col("qbucket") == F.col("cbucket"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_q(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def neardup_pairs(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 8,
+    dims: int = 64,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold among same-bucket
+    candidates (coarse 8-plane buckets → high recall for near-identical
+    vectors). Output (id_a, id_b, cosine·4dp), id_a < id_b."""
+    assigned = lsh_assign(
+        corpus, id_col=id_col, vec_col=vec_col, planes=planes, dims=dims
+    )
+    a = assigned.select(
+        F.col("vec_id_b").alias("id_a"), F.col("qvec").alias("va"), F.col("bucket").alias("ba")
+    )
+    b = assigned.select(
+        F.col("vec_id_b").alias("id_b"), F.col("qvec").alias("vb"), F.col("bucket").alias("bb")
+    )
+    return (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cosine", F.round(cosine_q(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def cosine_topk_numpy(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_queries: int = 32,
+) -> DataFrame:
+    """Arrow-batched numpy fast path for brute-force top-k.
+
+    The query block (small) is collected once and closed over; the corpus
+    streams through ``mapInPandas`` partition-parallel, each batch doing one
+    BLAS matmul; a final per-query window merges partial top-k. Same output
+    contract as ``cosine_topk`` (verified equal in tests).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    qrows = (
+        corpus.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("qid"), quantize(F.col(vec_col)).alias("qv"))
+        .collect()
+    )
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+
+    quantized = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.array(list(pdf["cv"]), dtype=np.float64)
+            cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+            sims = (qmat @ cmat.T) / qnorm[:, None] / cnorm[None, :]
+            nids = pdf["neighbor_id"].to_numpy()
+            # per-partition partial top-k keeps the merge tiny
+            kk = min(k + 1, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out = {
+                "query_id": np.repeat(qids, kk),
+                "neighbor_id": nids[idx].ravel(),
+                "cosine": np.take_along_axis(sims, idx, axis=1).ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    partial = quantized.mapInPandas(
+        score, "query_id long, neighbor_id long, cosine double"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), F.round("cosine", 4).alias("cosine"))
+    )

@@ -1,0 +1,357 @@
+"""Document deduplication suite for the training-data pipeline.
+
+Beyond-reference additions (the reference dedupes only URLs — SURVEY §2.5);
+these are the operators a 100 TB corpus pipeline needs over ``documents``:
+
+- ``exact_dupes``          hash-groupBy exact duplicate clustering
+- ``ngram_jaccard_pairs``  exact all-pairs Jaccard ≥ τ via shingle inverted
+                           index join (never a cross join)
+- ``minhash_signatures`` / ``lsh_candidate_pairs`` / ``minhash_dedupe``
+                           MinHash + banded LSH, candidates confirmed by
+                           exact Jaccard
+- ``simhash_pairs``        SimHash near-dup pairs via band-join + hamming
+
+Scale notes (100 TB):
+- Every pair-generating join is an equi-join on a hash key (shingle hash,
+  band bucket, simhash band) — shuffle-partitioned, AQE-skew-safe, and
+  linear in corpus size + candidate count; there is no O(n²) stage.
+- ``max_df`` prunes stop-shingles (shingles occurring in more than max_df
+  docs) before the inverted-index join — the classic frequency cut that
+  keeps hub shingles from quadratic blowup.
+- Hash family is ``md5_long`` (functions/text.py) so the DuckDB oracle can
+  replay every stage bit-for-bit; swap ``hash_fn`` for ``F.xxhash64`` on a
+  production cluster for ~3× cheaper signatures (same structure).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import SIMHASH_BITS, md5_long, shingle_hashes
+
+DEFAULT_PERMS = 32
+# 4 bands × 8 rows: r=8 keeps moderate-similarity pairs (J≈0.4-0.5, which
+# low-entropy corpora produce in bulk) out of the candidate set — p(candidate)
+# at J=0.45 is 4·0.45⁸ ≈ 0.7% vs ~28% at r=4. Catch probability stays ≈1 for
+# true near-dups (J≥0.95); at exactly J=0.8 it is 1−(1−0.8⁸)⁴ ≈ 0.52 —
+# raise perms/bands for higher recall at the threshold boundary.
+DEFAULT_BANDS = 4
+
+
+def exact_dupes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate clusters by content hash: one row per duplicated
+    text, with the representative (min id), copy count, and member ids."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), md5_long(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.count("*").alias("n_copies"),
+            F.sort_array(F.collect_list("doc_id")).alias("member_ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        shingle_hashes(F.col(text_col), k).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ threshold.
+
+    Inverted-index formulation: explode distinct shingle hashes, self-join
+    on the hash (only docs sharing ≥1 shingle ever meet), count shared
+    shingles per pair, then J = |∩| / (|A|+|B|−|∩|). Output
+    (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded 4dp.
+    """
+    sh = _shingled(df, id_col, text_col, k)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("h"))
+    if max_df is not None:
+        keep = ex.groupBy("h").count().filter(F.col("count") <= max_df).select("h")
+        ex = ex.join(keep, "h", "left_semi")
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return _finish_pairs(inter.join(sa, "doc_a").join(sb, "doc_b"), threshold)
+
+
+def _finish_pairs(joined: DataFrame, threshold: float) -> DataFrame:
+    """Shared tail: exact integer union size, integer-exact threshold
+    (10000·|∩| ≥ τ·10⁴·|∪| — never a rounded-double compare), plus a
+    4dp jaccard column for human consumption."""
+    thr = int(round(threshold * 10000))
+    return (
+        joined.withColumn(
+            "n_union", (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("long")
+        )
+        .withColumn("n_inter", F.col("n_inter").cast("long"))
+        .filter(F.col("n_inter") * 10000 >= F.lit(thr) * F.col("n_union"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter").cast("double") / F.col("n_union").cast("double"), 4),
+        )
+        .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
+    )
+
+
+def perm_constant(p: int) -> int:
+    """Deterministic 60-bit xor constant for permutation ``p`` — the
+    md5_long of ``'perm:p'``, reproducible in DuckDB by the same formula."""
+    import hashlib
+
+    return int(hashlib.md5(f"perm:{p}".encode()).hexdigest()[:15], 16)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 5, perms: int = DEFAULT_PERMS
+) -> DataFrame:
+    """MinHash signature per doc: sig[p] = min over shingles of
+    ``md5_long(shingle) XOR C_p``.
+
+    Each shingle is hashed **once**; the permutation family is xor with a
+    per-perm constant (a standard cheap min-hash family — not min-wise
+    independent, but signature quality only steers candidate recall here:
+    every candidate is confirmed by exact Jaccard downstream). This is the
+    difference between |shingles| and |shingles|·perms md5 evaluations per
+    document. Explode + one groupBy computes all perm-minima in a single
+    data pass with map-side partial aggregation (one shuffle on doc_id) —
+    a projection-form signature would risk Catalyst's project-collapse
+    re-expanding the gram hashing once per permutation.
+    """
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingle_hashes(F.col(text_col), k)).alias("h"),
+    )
+    mins = ex.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.col("h").bitwiseXOR(F.lit(perm_constant(p)).cast("long"))
+            ).alias(f"m{p}")
+            for p in range(perms)
+        ]
+    )
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"m{p}") for p in range(perms)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, *, bands: int = DEFAULT_BANDS
+) -> DataFrame:
+    """Banded LSH: slice each signature into ``bands`` equal bands, bucket on
+    (band_idx, band_hash), emit distinct candidate pairs sharing a bucket.
+
+    The band bucket join is an equi-join on the band key — the only shuffle;
+    bucket sizes are data-dependent but the frequency cut upstream and AQE
+    skew splitting bound the worst case.
+    """
+    rows_per_band = (F.size(F.col("signature")) / bands).cast("int")
+    bandified = signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: md5_long(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = bandified.alias("a")
+    b = bandified.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedupe(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    perms: int = DEFAULT_PERMS,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash+LSH near-dup detection, candidates confirmed by exact Jaccard.
+
+    Output (doc_a, doc_b, n_inter, n_union, jaccard): LSH candidate pairs
+    whose exact shingle Jaccard ≥ threshold. False positives are removed by
+    the exact check; false negatives are the (tunable) LSH recall loss —
+    see the DEFAULT_BANDS note for the r=8 operating point.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, k=k, perms=perms)
+    cand = lsh_candidate_pairs(sigs, bands=bands)
+    sh = _shingled(df, id_col, text_col, k)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    joined = (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("n_a", F.size("sh_a"))
+        .withColumn("n_b", F.size("sh_b"))
+    )
+    return _finish_pairs(joined, threshold)
+
+
+def winnow_table(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 8, w: int = 4
+) -> DataFrame:
+    """(doc_id, fingerprint): distinct winnowing fingerprints per document
+    (Schleimer et al., SIGMOD'03) via explode + frame-window minima.
+
+    Each k-gram position becomes a row hashed exactly once; the w-window
+    minimum is a ROWS BETWEEN CURRENT AND w−1 frame over position — one
+    shuffle on doc_id, linear work, no per-window array slicing. Same
+    values as functions.text.winnow_fingerprints (the array-expression
+    form, kept for composition inside a single projection).
+    """
+    n = F.length(F.col(text_col))
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__t"),
+        F.explode(F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(0)))).alias("pos"),
+    ).select(
+        "doc_id",
+        "pos",
+        md5_long(F.substring(F.col("__t"), F.col("pos"), F.lit(k))).alias("h"),
+    )
+    wspec = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    wall = Window.partitionBy("doc_id")
+    return (
+        ex.withColumn("win_min", F.min("h").over(wspec))
+        .withColumn("n_h", F.max("pos").over(wall))
+        .filter(F.col("pos") <= F.greatest(F.col("n_h") - w + 1, F.lit(1)))
+        .select("doc_id", F.col("win_min").alias("fingerprint"))
+        .distinct()
+    )
+
+
+def simhash_table(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 5, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(doc_id, sh): SimHash per document via explode + one aggregation pass.
+
+    Explodes distinct k-gram hashes and computes all ``bits`` ±1 counters in
+    a single groupBy (map-side partial aggregation; one shuffle on doc_id) —
+    the shape that holds at corpus scale, unlike a per-row expression that
+    re-walks the shingle array per bit.
+    """
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingle_hashes(F.col(text_col), k)).alias("h"),
+    )
+    sums = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    sh = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sh = bit if sh is None else sh + bit
+    return sums.select("doc_id", sh.alias("sh"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ max_hamming.
+
+    Candidate generation by the pigeonhole band trick: split the ``bits``-bit
+    simhash into ``bands`` contiguous chunks; any pair within hamming ≤
+    bands−1 shares at least one exact chunk, so an equi-join per chunk finds
+    every qualifying pair (bands = max_hamming+1 gives exact recall).
+    Output (doc_a, doc_b, hamming).
+    """
+    assert bands >= max_hamming + 1, "need bands > max_hamming for exact recall"
+    chunk = bits // bands
+    sh = simhash_table(df, id_col, text_col, bits=bits)
+    bandified = sh.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sh"), b * chunk).bitwiseAND(
+                        F.lit((1 << chunk) - 1).cast("long")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = bandified.alias("a")
+    b = bandified.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

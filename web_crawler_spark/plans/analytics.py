@@ -1,0 +1,933 @@
+"""Driver-contract query registry: every SURVEY §2 operator family plus the
+training-data pipeline operators, each as a (Spark callable, DuckDB oracle
+SQL) pair over the driver's parquet testdata.
+
+The oracle SQL replays the *same algorithm* the Spark side runs (not an
+idealized answer), so approximate operators (MinHash LSH, hyperplane ANN)
+check exactly too. Determinism rules used throughout:
+
+- every count/int output is BIGINT on both sides;
+- doubles are derived from exact integers (cents/quantized embeddings) by
+  the *same* expression shape, so both engines produce identical bits;
+- thresholds on ratios are integer inequalities (``5·inter ≥ 4·union``),
+  never rounded-double compares;
+- hash parity via ``md5_long`` (functions/text.py) — identical in DuckDB as
+  ``CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)``.
+
+Each entry's docstring cites the SURVEY §2 operator id and the reference
+file it re-expresses.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions import urls as U
+from ..operators import similarity as SIM
+from ..operators import textdedup as TD
+from ..operators.dedupe import collision_suffix, first_wins
+from ..operators.politeness import two_phase_topk
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+MD5L = "CAST(('0x' || substr(md5({x}),1,15)) AS BIGINT)"
+
+def _shingle_cte(src: str = "documents") -> str:
+    return f"""
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, length(text)-4), i -> substr(text, i, 5))) AS grams
+  FROM {src} WHERE length(text) >= 5),
+ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+sizes AS (SELECT doc_id, len(grams) AS n FROM sh)
+"""
+
+
+_SHINGLE_CTE = _shingle_cte()
+
+_QUANT_CTE = """
+v AS (SELECT vec_id, list_transform(embedding,
+        x -> CAST(ROUND(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+      FROM embeddings)
+"""
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1,64), i -> {a}[i]*{b}[i])) AS DOUBLE)"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_dot_sql(a, b)} / sqrt({_dot_sql(a, a)}) / sqrt({_dot_sql(b, b)})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 aggregations
+# ---------------------------------------------------------------------------
+
+def q_agg_link_stats(spark, sf_dir):
+    """A1 (api/tasks.py:393-407): count / count_if / countDistinct shape,
+    over orders standing in for the links table."""
+    o = t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("total_orders"),
+        F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_final"),
+        F.countDistinct(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_orderpriority"))
+        ).alias("n_final_priorities"),
+    )
+
+
+SQL_AGG_LINK_STATS = """
+SELECT CAST(COUNT(*) AS BIGINT) AS total_orders,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_final,
+       CAST(COUNT(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_orderpriority END) AS BIGINT)
+         AS n_final_priorities
+FROM orders
+"""
+
+
+def q_agg_success_rate(spark, sf_dir):
+    """A3 (utils/csv_processor.py:163-183): success/failure tally + rate,
+    with exact cents arithmetic for the double outputs."""
+    li = t(spark, sf_dir, "lineitem")
+    qty_cents = F.round(F.col("l_quantity") * 100).cast("long")
+    price_cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    g = li.groupBy("l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.col("l_returnflag") == "R").alias("n_returned"),
+        F.sum(qty_cents).alias("__qc"),
+        F.sum(price_cents).alias("__pc"),
+    )
+    return g.select(
+        "l_linestatus",
+        "n_rows",
+        "n_returned",
+        F.round(
+            F.col("n_returned").cast("double") / F.col("n_rows").cast("double"), 4
+        ).alias("return_rate"),
+        (F.col("__qc").cast("double") / 100.0).alias("sum_qty"),
+        F.round(
+            (F.col("__pc").cast("double") / 100.0) / F.col("n_rows").cast("double"), 4
+        ).alias("avg_price"),
+    )
+
+
+SQL_AGG_SUCCESS_RATE = """
+SELECT l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS n_returned,
+       ROUND(CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS return_rate,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+       ROUND((CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS avg_price
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def q_topk_freq(spark, sf_dir):
+    """A7/W2 (api/routes.py:654-660): top-50 class frequency — explode/
+    groupBy/orderBy/limit with a deterministic tie-break."""
+    p = t(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("p_type").asc())
+        .limit(50)
+    )
+
+
+SQL_TOPK_FREQ = """
+SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM part GROUP BY p_type ORDER BY n DESC, p_type ASC LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.8 sorts / limits / windows
+# ---------------------------------------------------------------------------
+
+def q_recent_first(spark, sf_dir):
+    """W1 (api/models.py:230-237): recent-first top-N."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select(
+            "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date")
+        )
+    )
+
+
+SQL_RECENT_FIRST = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+FROM orders ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 100
+"""
+
+
+def q_per_key_budget(spark, sf_dir):
+    """W4 (north rule per-host selection): skew-safe two-phase top-3 orders
+    per customer by (price DESC, key ASC); identical to the naive window."""
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    sel = two_phase_topk(
+        o,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+        F.xxhash64("o_orderkey"),
+        8,
+    )
+    return sel.select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+SQL_PER_KEY_BUDGET = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) <= 3
+"""
+
+
+def q_first_wins(spark, sf_dir):
+    """D1 (crawler/link_extractor.py:109-113): first-occurrence-wins dedupe
+    as a window — one lineitem per order, lowest line number."""
+    li = t(spark, sf_dir, "lineitem")
+    # l_linenumber repeats within an order in this synthetic data, so the
+    # dedupe "document position" is the full tuple — first_wins needs a
+    # total order per key to be deterministic (same rule as the frontier's
+    # (priority, url_hash) tie-break).
+    order = [F.col("l_linenumber").asc(), F.col("l_partkey").asc(), F.col("l_suppkey").asc()]
+    return first_wins(li, "l_orderkey", order).select(
+        "l_orderkey",
+        F.col("l_partkey").alias("first_partkey"),
+        F.col("l_linenumber").cast("long").alias("first_linenumber"),
+    )
+
+
+SQL_FIRST_WINS = """
+SELECT l_orderkey, l_partkey AS first_partkey,
+       CAST(l_linenumber AS BIGINT) AS first_linenumber
+FROM lineitem
+QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                           ORDER BY l_linenumber ASC, l_partkey ASC, l_suppkey ASC) = 1
+"""
+
+
+def q_collision_suffix(spark, sf_dir):
+    """D3 (image_downloader.py:183-192): per-base filename counters."""
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return collision_suffix(p, "p_brand", "p_partkey").select(
+        "p_partkey", "final_name"
+    )
+
+
+SQL_COLLISION_SUFFIX = """
+SELECT p_partkey,
+       CASE WHEN rn = 1 THEN p_brand
+            ELSE p_brand || '_' || CAST(rn - 1 AS VARCHAR) END AS final_name
+FROM (SELECT p_partkey, p_brand,
+             ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_partkey) AS rn
+      FROM part)
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.6 joins / §2.9 set ops
+# ---------------------------------------------------------------------------
+
+def q_anti_join_unseen(spark, sf_dir):
+    """J3/D4 (the frontier ∖ seen anti-join): customers with no orders."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SQL_ANTI_JOIN_UNSEEN = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_broadcast_dim_join(spark, sf_dir):
+    """J1/J4 (broadcast of small dims — converters.py:62-82, robots join):
+    suppliers per region through two broadcast joins."""
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+
+
+SQL_BROADCAST_DIM_JOIN = """
+SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3/2.4 URL predicates + scalar functions (synthesized URL columns)
+# ---------------------------------------------------------------------------
+
+_URL_EXPR = (
+    "'https://img' || CAST(p_partkey % 7 AS VARCHAR) || '.example.com/p/' "
+    "|| CAST(p_partkey AS VARCHAR) || CASE WHEN p_partkey % 3 = 0 THEN '#sec' ELSE '' END"
+)
+
+
+def q_url_normalize(spark, sf_dir):
+    """U2/U8/U20-without-hash (link_extractor.py:39-42, writer.py:25-53):
+    fragment strip + host extraction + slug over synthesized URLs."""
+    p = t(spark, sf_dir, "part")
+    url = F.concat(
+        F.lit("https://img"),
+        (F.col("p_partkey") % 7).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("p_partkey").cast("string"),
+        F.when(F.col("p_partkey") % 3 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return p.select(
+        "p_partkey",
+        U.remove_anchors(url).alias("canonical"),
+        U.url_host(url).alias("host"),
+        U.domain_and_path_slug(url).alias("slug"),
+    )
+
+
+SQL_URL_NORMALIZE = f"""
+WITH u AS (SELECT p_partkey, {_URL_EXPR} AS url FROM part)
+SELECT p_partkey,
+       regexp_replace(url, '#.*$', '') AS canonical,
+       regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+       regexp_replace(regexp_extract(url, '^https?://([^/]+)', 1), '\\.', '_', 'g')
+         || '_' || regexp_extract(url, '^https?://[^/]+/([^/#]+)', 1) AS slug
+FROM u
+"""
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """U1/U7 (link_extractor.py:15-37): the vectorized-urljoin pandas UDF
+    over the four reference truth-table cases; oracle pins the expected
+    RFC 3986 resolutions."""
+    p = t(spark, sf_dir, "part")
+    base = F.lit("https://h5.example.com/dir/page.html")
+    href = (
+        F.when(F.col("p_partkey") % 4 == 0, F.lit("/abs/x"))
+        .when(F.col("p_partkey") % 4 == 1, F.lit("img.png"))
+        .when(F.col("p_partkey") % 4 == 2, F.lit("//cdn.example.com/y"))
+        .otherwise(F.lit("https://ext.example.org/z#frag"))
+    )
+    return p.select(
+        "p_partkey", U.canonicalize(href, base, strip_fragment=True).alias("resolved")
+    )
+
+
+SQL_URL_CANONICALIZE = """
+SELECT p_partkey,
+       CASE p_partkey % 4
+         WHEN 0 THEN 'https://h5.example.com/abs/x'
+         WHEN 1 THEN 'https://h5.example.com/dir/img.png'
+         WHEN 2 THEN 'https://cdn.example.com/y'
+         ELSE 'https://ext.example.org/z' END AS resolved
+FROM part
+"""
+
+
+def q_url_valid_partition(spark, sf_dir):
+    """F1/T1 (utils/validators.py:10-42): valid/invalid URL partition
+    counts over a synthesized mix of good, bad-scheme, empty, skip-list."""
+    p = t(spark, sf_dir, "part")
+    url = (
+        F.when(F.col("p_partkey") % 5 == 0, F.lit("ftp://files.example.com/a"))
+        .when(F.col("p_partkey") % 5 == 1, F.lit(""))
+        .when(F.col("p_partkey") % 5 == 2, F.lit("javascript:void(0)"))
+        .otherwise(
+            F.concat(F.lit("https://ok"), (F.col("p_partkey") % 9).cast("string"), F.lit(".example.com/"))
+        )
+    )
+    d = p.select(url.alias("url"), U.is_valid_url(url).alias("valid"))
+    return d.groupBy("valid").agg(F.count("*").alias("n"))
+
+
+SQL_URL_VALID_PARTITION = """
+WITH u AS (
+  SELECT CASE p_partkey % 5
+           WHEN 0 THEN 'ftp://files.example.com/a'
+           WHEN 1 THEN ''
+           WHEN 2 THEN 'javascript:void(0)'
+           ELSE 'https://ok' || CAST(p_partkey % 9 AS VARCHAR) || '.example.com/' END AS url
+  FROM part)
+SELECT regexp_matches(url, '^https?://[^/]+') AS valid, CAST(COUNT(*) AS BIGINT) AS n
+FROM u GROUP BY 1
+"""
+
+
+def q_error_taxonomy(spark, sf_dir):
+    """E1/E2 (utils/error_handler.py:87-296, fetcher.py:73-93): status-code →
+    error-type taxonomy + retry policy as columns over synthesized codes."""
+    e = t(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_id") % 10 < 6, F.lit(200))
+        .when(F.col("event_id") % 10 == 6, F.lit(404))
+        .when(F.col("event_id") % 10 == 7, F.lit(500))
+        .when(F.col("event_id") % 10 == 8, F.lit(403))
+        .otherwise(F.lit(0))
+    )
+    etype = (
+        F.when(code == 200, F.lit("none"))
+        .when(code == 0, F.lit("network_error"))
+        .when(code == 403, F.lit("permission_error"))
+        .when(code >= 500, F.lit("http_error"))
+        .otherwise(F.lit("http_error"))
+    )
+    retry = (code >= 500) | (code == 0)
+    d = e.select(etype.alias("error_type"), retry.alias("retry_possible"))
+    return d.groupBy("error_type", "retry_possible").agg(F.count("*").alias("n"))
+
+
+SQL_ERROR_TAXONOMY = """
+WITH c AS (
+  SELECT CASE WHEN event_id % 10 < 6 THEN 200
+              WHEN event_id % 10 = 6 THEN 404
+              WHEN event_id % 10 = 7 THEN 500
+              WHEN event_id % 10 = 8 THEN 403
+              ELSE 0 END AS code
+  FROM events)
+SELECT CASE WHEN code = 200 THEN 'none'
+            WHEN code = 0 THEN 'network_error'
+            WHEN code = 403 THEN 'permission_error'
+            ELSE 'http_error' END AS error_type,
+       (code >= 500 OR code = 0) AS retry_possible,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM c GROUP BY 1, 2
+"""
+
+
+def q_content_stats(spark, sf_dir):
+    """U13/A2 (crawler/parser.py:257-266): word/char counts per document."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.ws_token_count(F.col("text")).cast("long").alias("word_count"),
+        F.length("text").cast("long").alias("char_count"),
+    )
+
+
+SQL_CONTENT_STATS = r"""
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+         AS word_count,
+       CAST(length(text) AS BIGINT) AS char_count
+FROM documents
+"""
+
+
+def q_events_hourly(spark, sf_dir):
+    """A5/A8-style time rollup over the events stream table (batch side of
+    the §2.11 micro-batch loop), exact cents arithmetic."""
+    e = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hour = F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+    return (
+        e.groupBy("event_type", hour.alias("hour_epoch"))
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("__c"))
+        .select(
+            "event_type",
+            "hour_epoch",
+            "n",
+            (F.col("__c").cast("double") / 100.0).alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the scheduling round over a synthesized frontier (W4+ordering)
+# ---------------------------------------------------------------------------
+
+def q_frontier_schedule(spark, sf_dir):
+    """The SURVEY §7 minimum slice as an oracle-checkable query: synthesize a
+    frontier from orders (url/host/priority), run the skew-safe per-host
+    budget selection (budget 3) and emit the deterministic fetch order.
+    Tie-break here is (priority DESC, url ASC) — url_hash has no DuckDB
+    twin; the engine's xxhash64 tie-break is pinned by tests instead."""
+    o = t(spark, sf_dir, "orders")
+    host = F.concat(F.lit("h"), (F.col("o_custkey") % 50).cast("string"), F.lit(".shop.example"))
+    url = F.concat(F.lit("https://"), host, F.lit("/o/"), F.col("o_orderkey").cast("string"))
+    frontier = o.select(
+        url.alias("url"), host.alias("host"), F.col("o_totalprice").alias("priority")
+    )
+    sel = two_phase_topk(
+        frontier,
+        ["host"],
+        [F.col("priority").desc(), F.col("url").asc()],
+        3,
+        F.xxhash64("url"),
+        8,
+    )
+    w = Window.orderBy(F.col("priority").desc(), F.col("url").asc())
+    return sel.withColumn("fetch_seq", F.row_number().over(w).cast("long")).select(
+        "fetch_seq", "url", "host", "priority"
+    )
+
+
+SQL_FRONTIER_SCHEDULE = """
+WITH f AS (
+  SELECT 'https://h' || CAST(o_custkey % 50 AS VARCHAR) || '.shop.example/o/'
+           || CAST(o_orderkey AS VARCHAR) AS url,
+         'h' || CAST(o_custkey % 50 AS VARCHAR) || '.shop.example' AS host,
+         o_totalprice AS priority
+  FROM orders),
+sel AS (
+  SELECT * FROM f
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority DESC, url ASC) <= 3)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY priority DESC, url ASC) AS BIGINT) AS fetch_seq,
+       url, host, priority
+FROM sel
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: dedup family (documents)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact content-hash dedupe (hash-groupBy). The corpus has no verbatim
+    dupes, so the grouping key is the canonical bag-of-words fingerprint —
+    sorted distinct lowercase words — which clusters reordered copies."""
+    d = t(spark, sf_dir, "documents")
+    bag = F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(T.words(F.col("text"))))))
+    return (
+        d.select("doc_id", bag.alias("bag_hash"))
+        .groupBy("bag_hash")
+        .agg(F.min("doc_id").alias("rep_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+SQL_DEDUP_EXACT = """
+WITH bags AS (
+  SELECT doc_id,
+         md5(list_aggr(list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))),
+                       'string_agg', ' ')) AS bag_hash
+  FROM documents)
+SELECT bag_hash, MIN(doc_id) AS rep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM bags GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact all-pairs 5-gram Jaccard ≥ 0.8 via the shingle inverted-index
+    join (never a cross join); integer-exact threshold 5·|∩| ≥ 4·|∪|.
+
+    Bounded to the first 1000 doc_ids: this corpus is a low-entropy worst
+    case (every doc shares shingles with every other), so the exact
+    quadratic baseline is deliberately run on a fixed slice; the minhash-LSH
+    entry is the scale path over the full corpus. The bound is a no-op at
+    the sf0.01 correctness scale (500 docs)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = TD.ngram_jaccard_pairs(
+        d, "doc_id", "text", k=5, threshold=0.8
+    )
+    return pairs.select("doc_a", "doc_b", "n_inter", "n_union")
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH docs_bounded AS (SELECT * FROM documents WHERE doc_id < 1000),
+{_shingle_cte("docs_bounded")},
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ni
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT da AS doc_a, db AS doc_b,
+       CAST(ni AS BIGINT) AS n_inter,
+       CAST(sa.n + sb.n - ni AS BIGINT) AS n_union
+FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+WHERE 5 * ni >= 4 * (sa.n + sb.n - ni)
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash (32 perms, xor family) + banded LSH (4 bands × 8 rows)
+    candidates, confirmed by exact Jaccard ≥ 0.8. The oracle replays the
+    identical signature/band/verify pipeline in SQL."""
+    d = t(spark, sf_dir, "documents")
+    pairs = TD.minhash_dedupe(
+        d, "doc_id", "text", k=5, perms=32, bands=4, threshold=0.8
+    )
+    return pairs.select("doc_a", "doc_b", "n_inter", "n_union")
+
+
+_BAND_HASH = MD5L.format(x="string_agg(CAST(m AS VARCHAR), ',' ORDER BY p)")
+_PERM_CONST = MD5L.format(x="'perm:' || CAST(pp.p AS VARCHAR)")
+_GRAM_HASH = MD5L.format(x="g")
+
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH {_SHINGLE_CTE},
+pm AS (
+  SELECT doc_id, pp.p AS p, MIN(xor({_GRAM_HASH}, {_PERM_CONST})) AS m
+  FROM ex, range(32) pp(p) GROUP BY doc_id, pp.p),
+bands AS (
+  SELECT doc_id, p // 8 AS b, {_BAND_HASH} AS bh
+  FROM pm GROUP BY doc_id, p // 8),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT e1.doc_id AS da, e2.doc_id AS db, COUNT(*) AS ni
+  FROM ex e1 JOIN ex e2 ON e1.g = e2.g AND e1.doc_id < e2.doc_id
+  GROUP BY 1, 2)
+SELECT c.da AS doc_a, c.db AS doc_b,
+       CAST(i.ni AS BIGINT) AS n_inter,
+       CAST(sa.n + sb.n - i.ni AS BIGINT) AS n_union
+FROM cand c
+JOIN inter i ON i.da = c.da AND i.db = c.db
+JOIN sizes sa ON sa.doc_id = c.da
+JOIN sizes sb ON sb.doc_id = c.db
+WHERE 5 * i.ni >= 4 * (sa.n + sb.n - i.ni)
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash(60-bit, 5-gram shingles) near-dup pairs at hamming ≤ 3, with
+    exact-recall band candidates. Oracle computes the same simhash in SQL
+    and brute-forces pairs (equal by the pigeonhole guarantee)."""
+    d = t(spark, sf_dir, "documents")
+    return TD.simhash_pairs(d, "doc_id", "text", max_hamming=3, bands=4)
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH sh0 AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, length(text)-4), i -> substr(text, i, 5)))) AS g
+  FROM documents WHERE length(text) >= 5),
+th AS (SELECT doc_id, {MD5L.format(x='g')} AS h FROM sh0),
+bitsums AS (
+  SELECT doc_id, b.bit AS bit,
+         SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th, range(60) b(bit) GROUP BY 1, 2),
+sim AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS sh
+  FROM bitsums GROUP BY 1)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: text analysis (documents)
+# ---------------------------------------------------------------------------
+
+def q_text_lang_id(spark, sf_dir):
+    """Language-ID heuristic: CJK-ratio gate then stopword-ratio argmax."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _stoplist_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in T.STOPWORDS[lang]) + "]"
+
+
+SQL_TEXT_LANG_ID = f"""
+WITH w AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z]+') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, text,
+         len(list_filter(toks, t -> list_contains({_stoplist_sql('en')}, t))) AS s_en,
+         len(list_filter(toks, t -> list_contains({_stoplist_sql('de')}, t))) AS s_de,
+         len(list_filter(toks, t -> list_contains({_stoplist_sql('es')}, t))) AS s_es,
+         len(list_filter(toks, t -> list_contains({_stoplist_sql('fr')}, t))) AS s_fr
+  FROM w)
+SELECT doc_id,
+       CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) * 4 > length(text) THEN 'zh'
+            WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+            WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM s
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: exact integer signals + the frozen composite score."""
+    d = t(spark, sf_dir, "documents")
+    f = T.quality_features(F.col("text"))
+    toks = T.words(F.col("text"))
+    return d.select(
+        "doc_id",
+        f["n_chars"].cast("long").alias("n_chars"),
+        f["n_tokens"].cast("long").alias("n_tokens"),
+        T.stopword_count(toks, "en").cast("long").alias("n_stop"),
+        T.quality_score(F.col("text")).alias("score"),
+    )
+
+
+SQL_TEXT_QUALITY = rf"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+         len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+         len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                         t -> list_contains({_stoplist_sql('en')}, t))) AS n_stop
+  FROM documents)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_stop AS BIGINT) AS n_stop,
+       ROUND(GREATEST(LEAST(
+         0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         + 0.4 * LEAST(CAST(n_stop AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) * 5.0, 1.0)
+         + 0.2 * (1.0 - LEAST(CAST(n_punct AS DOUBLE) / CAST(GREATEST(n_tokens, 1) AS DOUBLE) * 5.0, 1.0))
+         - 0.2 * LEAST(CAST(n_digit AS DOUBLE) / CAST(GREATEST(n_tokens, 1) AS DOUBLE) * 5.0, 1.0),
+         1.0), 0.0), 4) AS score
+FROM f
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    """Token counting: whitespace and BPE-ish regex tokenizations."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.ws_token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        T.regex_token_count(F.col("text")).cast("long").alias("re_tokens"),
+    )
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+         AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+         AS re_tokens
+FROM documents
+"""
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (k=8, w=4) as (doc_id, fingerprint) rows, via
+    the explode + frame-window form (one md5 per gram position; the array
+    expression form re-expands the hash chain under project-collapse)."""
+    d = t(spark, sf_dir, "documents")
+    return TD.winnow_table(d, "doc_id", "text", k=8, w=4)
+
+
+SQL_DOC_FINGERPRINTS = f"""
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN length(text) >= 8
+              THEN list_transform(generate_series(1, length(text)-7),
+                                  i -> {MD5L.format(x='substr(text, i, 8)')})
+              ELSE CAST([] AS BIGINT[]) END AS hs
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 4
+              THEN list_transform(generate_series(1, len(hs)-3),
+                                  j -> list_aggregate(list_slice(hs, j, j+3), 'min'))
+              WHEN len(hs) > 0 THEN [list_aggregate(hs, 'min')]
+              ELSE hs END AS mins
+  FROM g)
+SELECT doc_id, unnest(list_distinct(mins)) AS fingerprint FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-3 for the first 32 query vectors —
+    quantized-integer arithmetic makes it engine-exact."""
+    e = t(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(e, k=3, n_queries=32)
+
+
+SQL_ANN_COSINE_TOPK = f"""
+WITH {_QUANT_CTE},
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_cos_sql('q.qv', 'c.qv')} AS cosine
+  FROM v q JOIN v c ON q.vec_id < 32 AND c.vec_id <> q.vec_id)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, ROUND(cosine, 4) AS cosine
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+      FROM pairs)
+WHERE rnk <= 3
+"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH bucketed approximate top-3 (12 planes) — the scale
+    path; the oracle replays the identical bucketing."""
+    e = t(spark, sf_dir, "embeddings")
+    return SIM.ann_lsh_topk(e, k=3, planes=12, n_queries=32)
+
+
+_PLANE_SIGN = (
+    "CASE WHEN "
+    + MD5L.format(x="'hp:' || CAST(pp.p AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR)")
+    + " % 2 = 0 THEN 1 ELSE -1 END"
+)
+
+SQL_ANN_LSH_TOPK = f"""
+WITH {_QUANT_CTE},
+planes AS (
+  SELECT pp.p AS p, dd.d AS d, {_PLANE_SIGN} AS s
+  FROM range(12) pp(p), range(64) dd(d)),
+proj AS (
+  SELECT v.vec_id, pl.p, SUM(pl.s * v.qv[pl.d + 1]) AS pr
+  FROM v, planes pl GROUP BY 1, 2),
+buck AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY 1),
+vb AS (SELECT v.vec_id, v.qv, b.bucket FROM v JOIN buck b USING (vec_id)),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_cos_sql('q.qv', 'c.qv')} AS cosine
+  FROM vb q JOIN vb c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < 32)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, ROUND(cosine, 4) AS cosine
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+      FROM pairs)
+WHERE rnk <= 3
+"""
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding near-dup pairs: cosine ≥ 0.4 within coarse 4-plane LSH
+    buckets (corpus max pairwise cosine is ~0.51, so 0.4 exercises the
+    filter against real candidates)."""
+    e = t(spark, sf_dir, "embeddings")
+    return SIM.neardup_pairs(e, threshold=0.4, planes=4)
+
+
+_PLANE_SIGN4 = _PLANE_SIGN
+
+SQL_EMBEDDING_NEARDUP = f"""
+WITH {_QUANT_CTE},
+planes AS (
+  SELECT pp.p AS p, dd.d AS d, {_PLANE_SIGN4} AS s
+  FROM range(4) pp(p), range(64) dd(d)),
+proj AS (
+  SELECT v.vec_id, pl.p, SUM(pl.s * v.qv[pl.d + 1]) AS pr
+  FROM v, planes pl GROUP BY 1, 2),
+buck AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY 1),
+vb AS (SELECT v.vec_id, v.qv, b.bucket FROM v JOIN buck b USING (vec_id))
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND({_cos_sql('a.qv', 'b.qv')}, 4) AS cosine
+  FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+WHERE cosine >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: multimodal metadata (binary plumbing)
+# ---------------------------------------------------------------------------
+
+def q_media_meta(spark, sf_dir):
+    """Multimodal metadata plumbing over a binary column (documents.text
+    encoded as UTF-8 bytes stands in for media blobs): exact byte length and
+    content digest, computed entirely JVM-side."""
+    d = t(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(blob).cast("long").alias("n_bytes"),
+        F.sha2(blob, 256).alias("sha256"),
+    )
+
+
+SQL_MEDIA_META = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # §2 crawl-operator families over TPC-H-ish tables
+    "agg_link_stats": (q_agg_link_stats, SQL_AGG_LINK_STATS),
+    "agg_success_rate": (q_agg_success_rate, SQL_AGG_SUCCESS_RATE),
+    "topk_freq": (q_topk_freq, SQL_TOPK_FREQ),
+    "recent_first": (q_recent_first, SQL_RECENT_FIRST),
+    "per_key_budget": (q_per_key_budget, SQL_PER_KEY_BUDGET),
+    "first_wins_dedupe": (q_first_wins, SQL_FIRST_WINS),
+    "collision_suffix": (q_collision_suffix, SQL_COLLISION_SUFFIX),
+    "anti_join_unseen": (q_anti_join_unseen, SQL_ANTI_JOIN_UNSEEN),
+    "broadcast_dim_join": (q_broadcast_dim_join, SQL_BROADCAST_DIM_JOIN),
+    "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
+    "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
+    "url_valid_partition": (q_url_valid_partition, SQL_URL_VALID_PARTITION),
+    "error_taxonomy": (q_error_taxonomy, SQL_ERROR_TAXONOMY),
+    "content_stats": (q_content_stats, SQL_CONTENT_STATS),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "frontier_schedule": (q_frontier_schedule, SQL_FRONTIER_SCHEDULE),
+    # training-data pipeline: dedup
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    # training-data pipeline: text analysis
+    "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
+    # training-data pipeline: similarity search
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    # multimodal plumbing
+    "media_meta": (q_media_meta, SQL_MEDIA_META),
+}

@@ -38,6 +38,10 @@ def get_spark(
         builder = builder.master(f"local[{cpus}]")
     n_shuffle = shuffle_partitions or cpus or 32
     confs = {
+        # local-mode driver == executor JVM; 1g default heap cannot sort a
+        # multi-million-row frontier. Honored only at JVM launch.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+        "spark.driver.maxResultSize": "4g",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.shuffle.partitions": str(n_shuffle),
         "spark.sql.adaptive.enabled": "true",
