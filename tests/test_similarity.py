@@ -1,0 +1,96 @@
+"""Similarity-search tests: exact vs numpy fast path, LSH bucket
+determinism and candidate semantics, near-dup containment."""
+
+from __future__ import annotations
+
+import math
+
+from web_crawler_spark.operators import similarity as S
+
+
+def _vecs(spark, n=40, dim=64):
+    rows = []
+    for i in range(n):
+        # deterministic pseudo-random-ish vectors with some correlated pairs
+        v = [math.sin(0.1 * (i + 1) * (j + 1)) for j in range(dim)]
+        rows.append((i, v))
+    # planted near-duplicate of vec 0
+    rows.append((n, [x * 1.001 for x in rows[0][1]]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_bruteforce_topk_self_excluded_and_ranked(spark):
+    df = _vecs(spark)
+    rows = S.cosine_topk(df, k=3, n_queries=5).collect()
+    by_q = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+    # the planted near-dup is vec 0's top neighbor
+    assert by_q[0][0]["neighbor_id"] == 40
+
+
+def test_numpy_path_equals_builtin_path(spark):
+    df = _vecs(spark)
+    a = sorted(map(tuple, S.cosine_topk(df, k=3, n_queries=8).collect()))
+    b = sorted(map(tuple, S.cosine_topk_numpy(df, k=3, n_queries=8).collect()))
+    assert a == b
+
+
+def test_lsh_assign_deterministic_and_bounded(spark):
+    df = _vecs(spark)
+    a = {r["vec_id_b"]: r["bucket"] for r in S.lsh_assign(df, planes=8).collect()}
+    b = {r["vec_id_b"]: r["bucket"] for r in S.lsh_assign(df, planes=8).collect()}
+    assert a == b
+    assert all(0 <= v < 256 for v in a.values())
+    # near-identical vectors land in the same bucket
+    assert a[0] == a[40]
+
+
+def test_ann_results_subset_of_bruteforce_candidates(spark):
+    """Every ANN hit must be a same-bucket pair with the exact cosine the
+    brute-force path computes for it."""
+    df = _vecs(spark)
+    buckets = {r["vec_id_b"]: r["bucket"] for r in S.lsh_assign(df, planes=6).collect()}
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in S.cosine_topk(df, k=40, n_queries=10).collect()
+    }
+    ann = S.ann_lsh_topk(df, k=3, planes=6, n_queries=10).collect()
+    for r in ann:
+        assert buckets[r["query_id"]] == buckets[r["neighbor_id"]]
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+
+
+def test_neardup_pairs_threshold(spark):
+    df = _vecs(spark)
+    rows = S.neardup_pairs(df, threshold=0.99, planes=4).collect()
+    assert any((r["id_a"], r["id_b"]) == (0, 40) for r in rows)
+    for r in rows:
+        assert r["cosine"] >= 0.99
+
+
+def test_zero_vector_yields_null_not_error(spark):
+    """ANSI mode: a zero-norm vector must become NULL cosine rows filtered
+    out of results, never a DIVIDE_BY_ZERO exception."""
+    rows = [(0, [0.0] * 64), (1, [1.0] * 64), (2, [0.5] * 64)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = S.cosine_topk(df, k=2, n_queries=3).collect()
+    assert all(r["query_id"] != 0 for r in out)
+    assert all(r["neighbor_id"] != 0 for r in out)
+    got = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in out}
+    assert got[(1, 2)] == 1.0 and got[(2, 1)] == 1.0
+
+
+def test_plane_signs_are_md5_parity(spark):
+    import hashlib
+
+    for p in range(3):
+        for d in range(5):
+            expected = 1 if int(hashlib.md5(f"hp:{p}:{d}".encode()).hexdigest()[:15], 16) % 2 == 0 else -1
+            assert S.plane_sign(p, d) == expected

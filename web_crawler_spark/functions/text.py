@@ -169,14 +169,15 @@ def simhash_from_hashes(hashes: Column, *, bits: int = SIMHASH_BITS) -> Column:
     hashing a whole corpus — the explode/aggregate form does one data pass.
     """
     n = F.size(hashes)
+
+    def bit_set(i: int):
+        # closure factory: a default-arg lambda would make the function
+        # binary, and PySpark passes the array index to binary lambdas
+        return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
+
     out = F.lit(0).cast("long")
     for i in range(bits):
-        set_count = F.size(
-            F.filter(
-                hashes,
-                lambda h, i=i: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
-            )
-        )
+        set_count = F.size(F.filter(hashes, bit_set(i)))
         out = out + F.when(set_count * 2 > n, F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )

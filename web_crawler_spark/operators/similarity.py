@@ -62,11 +62,15 @@ def dot_q(a, b) -> F.Column:
 
 
 def cosine_q(a, b) -> F.Column:
-    """Cosine from exact integer dot/norms; single double division."""
-    return (
+    """Cosine from exact integer dot/norms. Zero-norm vectors yield NULL
+    (error-as-data; ANSI mode would otherwise raise DIVIDE_BY_ZERO). The
+    division chain shape (dot/√na/√nb) is frozen — the DuckDB oracle uses
+    the identical shape so the doubles match bit-for-bit."""
+    return F.when(
+        (dot_q(a, a) > 0) & (dot_q(b, b) > 0),
         dot_q(a, b).cast("double")
         / F.sqrt(dot_q(a, a).cast("double"))
-        / F.sqrt(dot_q(b, b).cast("double"))
+        / F.sqrt(dot_q(b, b).cast("double")),
     )
 
 
@@ -97,6 +101,7 @@ def cosine_topk(
         q.crossJoin(c)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", cosine_q(F.col("qv"), F.col("cv")))
+        .filter(F.col("cosine").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -181,6 +186,7 @@ def ann_lsh_topk(
         q.join(c, F.col("qbucket") == F.col("cbucket"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", cosine_q(F.col("qv"), F.col("cv")))
+        .filter(F.col("cosine").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -216,7 +222,7 @@ def neardup_pairs(
     return (
         a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
         .withColumn("cosine", F.round(cosine_q(F.col("va"), F.col("vb")), 4))
-        .filter(F.col("cosine") >= threshold)
+        .filter(F.col("cosine").isNotNull() & (F.col("cosine") >= threshold))
         .select("id_a", "id_b", "cosine")
     )
 
@@ -271,9 +277,11 @@ def cosine_topk_numpy(
             }
             yield pd.DataFrame(out)
 
-    partial = quantized.mapInPandas(
-        score, "query_id long, neighbor_id long, cosine double"
-    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    partial = (
+        quantized.mapInPandas(score, "query_id long, neighbor_id long, cosine double")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .filter(~F.isnan("cosine") & F.col("cosine").isNotNull())
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

@@ -78,11 +78,13 @@ def ngram_jaccard_pairs(
     (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded 4dp.
     """
     sh = _shingled(df, id_col, text_col, k)
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     ex = sh.select("doc_id", F.explode("shingles").alias("h"))
     if max_df is not None:
         keep = ex.groupBy("h").count().filter(F.col("count") <= max_df).select("h")
         ex = ex.join(keep, "h", "left_semi")
+    # set sizes over the (possibly df-capped) shingle space, so J is a true
+    # Jaccard of the space the intersection is computed in
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
@@ -241,10 +243,15 @@ def winnow_table(
     form, kept for composition inside a single projection).
     """
     n = F.length(F.col(text_col))
+    # guard: sequence(1, 0) counts DOWN in Spark — docs shorter than k must
+    # produce an empty position list, not [1, 0]
+    positions = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     ex = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("__t"),
-        F.explode(F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(0)))).alias("pos"),
+        F.explode(positions).alias("pos"),
     ).select(
         "doc_id",
         "pos",
