@@ -1,0 +1,98 @@
+"""N→4N scaling-efficiency evidence (north rule).
+
+The sandbox has no multi-executor cluster, so the two-cluster-size criterion
+is evidenced by running the SAME frontier-scheduling job at two parallelism
+levels — local[8] (N) and local[32] (4N) — on the same generated input, and
+reporting throughput at both plus the strong-scaling efficiency
+  eff = (T_N / T_4N) / 4  =  tput_4N / (4 · tput_N).
+
+Each level runs in its own subprocess (one JVM per process); the job is run
+twice per level and the best wall time is taken (first run pays JIT/codegen
+warmup that a long-running cluster amortizes).
+
+Writes BENCH.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+N_ROWS = 100_000_000
+LEVELS = [8, 32]
+
+CHILD = r"""
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+from web_crawler_spark.session import get_spark
+import bench
+
+cpus = int(sys.argv[1])
+n_rows = int(sys.argv[2])
+spark = get_spark(f"scale-{cpus}", parallelism=cpus, shuffle_partitions=cpus)
+best = None
+for _ in range(2):
+    t0 = time.time()
+    tput, n_sel = bench.frontier_throughput(spark, n_rows)
+    dt = time.time() - t0
+    if best is None or dt < best[0]:
+        best = (dt, tput, n_sel)
+print(json.dumps({"cpus": cpus, "sec": round(best[0], 2),
+                  "urls_per_sec": round(best[1]), "selected": best[2]}))
+"""
+
+
+def run_level(cpus: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD, str(cpus), str(N_ROWS)],
+        capture_output=True, text=True, timeout=900,
+        cwd="/root/repo",
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    results = {c: run_level(c) for c in LEVELS}
+    n, n4 = results[LEVELS[0]], results[LEVELS[1]]
+    eff = (n4["urls_per_sec"] / n["urls_per_sec"]) / (LEVELS[1] / LEVELS[0])
+    summary = {
+        "metric": "frontier URLs scheduled+deduped per second, N vs 4N parallelism",
+        "n_rows": N_ROWS,
+        "levels": results,
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    md = f"""# BENCH — scaling evidence (north rule)
+
+One frontier-scheduling round (generate → xxhash64 → first-wins dedupe →
+seen anti-join → skew-safe salted per-host top-k) over a generated
+{N_ROWS:,}-row frontier with Zipfian-ish host skew — the same DataFrame
+plan the engine runs per crawl round (`bench.frontier_throughput`). The
+10^10 design point is the same plan with a larger `spark.range`; per-row
+cost is what is measured here. Best of 2 runs per level (JIT warmup
+excluded), one JVM per level.
+
+| parallelism | wall s | URLs/s | vs local[8] |
+|---|---|---|---|
+| local[{LEVELS[0]}]  (N)  | {n['sec']} | {n['urls_per_sec']:,} | 1.0× |
+| local[{LEVELS[1]}] (4N) | {n4['sec']} | {n4['urls_per_sec']:,} | {n4['urls_per_sec']/n['urls_per_sec']:.2f}× |
+
+**Scaling efficiency N→4N: {eff:.3f}** (target ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"}).
+
+Determinism across parallelism: the selected batch and its fetch order are
+identical at both levels (total order `(priority DESC, url_hash ASC)`);
+verified by tests/test_politeness.py and the resume/roundtrip suites.
+
+Reproduce: `python scripts/bench_scaling.py`
+"""
+    with open("/root/repo/BENCH.md", "w") as f:
+        f.write(md)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
