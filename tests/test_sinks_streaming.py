@@ -1,0 +1,148 @@
+"""Sink operators (ordered concat, image-path rewrite, tally), naming and
+cookie scalar functions, text cleanup, and the Structured Streaming
+surfaces (seed ingest via foreachBatch, watermarked hourly rollup)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from web_crawler_spark.functions.text import clean_text
+from web_crawler_spark.functions.urls import output_name, parse_cookie_string
+from web_crawler_spark.operators.sinks import (
+    combine_results,
+    download_tally,
+    rewrite_image_paths,
+)
+
+
+def test_combine_results_order_and_no_separator(spark):
+    df = spark.createDataFrame(
+        [(3, "C"), (1, "A"), (2, "B")], ["bulk_index", "content"]
+    )
+    assert combine_results(df, "bulk_index", "content").collect()[0]["combined"] == "ABC"
+
+
+def test_rewrite_image_paths_markdown_and_html(spark):
+    mapping = spark.createDataFrame(
+        [("https://x.com/a.png", "images/a.png")], ["url", "local_path"]
+    )
+    md = spark.createDataFrame(
+        [("x", "see ![alt](https://x.com/a.png) and ![o](https://x.com/b.png)")],
+        ["id", "content"],
+    )
+    out = rewrite_image_paths(md, mapping, style="markdown").collect()[0]["content"]
+    assert out == "see ![alt](images/a.png) and ![o](https://x.com/b.png)"
+    html = spark.createDataFrame(
+        [("x", '<p><img src="https://x.com/a.png" alt=""></p>')], ["id", "content"]
+    )
+    out2 = rewrite_image_paths(html, mapping, style="html").collect()[0]["content"]
+    assert out2 == '<p><img src="images/a.png" alt=""></p>'
+
+
+def test_download_tally(spark):
+    df = spark.createDataFrame(
+        [("u1", "success"), ("u2", "failed"), ("u3", "success")], ["url", "status"]
+    )
+    rows = {r["status"]: r for r in download_tally(df).collect()}
+    assert rows["success"]["n"] == 2 and rows["success"]["urls"] == ["u1", "u3"]
+    assert rows["failed"]["n"] == 1
+
+
+def test_output_name(spark):
+    df = spark.createDataFrame([("https://www.site.com/blog/post?x=1", 7)], ["url", "idx"])
+    ts = F.to_timestamp(F.lit("2026-01-15 10:30:00"))
+    row = df.select(
+        output_name(F.col("url"), ts, F.lit("md"), F.col("idx")).alias("n1"),
+        output_name(F.col("url"), ts, F.lit("txt")).alias("n2"),
+    ).collect()[0]
+    assert row["n1"] == "007_site_com_blog_20260115_1030.md"
+    assert row["n2"] == "site_com_blog_20260115_1030.txt"
+
+
+def test_parse_cookie_string(spark):
+    df = spark.createDataFrame(
+        [('{"a": "1", "b": "2"}',), ("k1=v1; k2=v2",), ("not json {",)], ["s"]
+    )
+    rows = [r["m"] for r in df.select(parse_cookie_string(F.col("s")).alias("m")).collect()]
+    assert rows[0] == {"a": "1", "b": "2"}
+    assert rows[1] == {"k1": "v1", "k2": "v2"}
+    # malformed input degrades to a parse attempt, never an exception
+    assert rows[2] is None or isinstance(rows[2], dict)
+
+
+def test_clean_text(spark):
+    raw = "  line one  \n\n\n\n  line two\t\n\n\n\nline three  "
+    got = spark.createDataFrame([(raw,)], ["s"]).select(
+        clean_text(F.col("s")).alias("c")
+    ).collect()[0]["c"]
+    assert got == "line one\n\nline two\n\nline three"
+
+
+def test_seed_stream_ingest(spark, tmp_path):
+    from web_crawler_spark.schemas import FRONTIER
+    from web_crawler_spark.sources.lake import SnapshotTable
+    from web_crawler_spark.streaming.ingest import ingest_seed_stream
+
+    seeds_dir = tmp_path / "seeds"
+    seeds_dir.mkdir()
+    (seeds_dir / "batch1.csv").write_text(
+        "url,mode\nhttps://a.com/x,content\nnot-a-url,content\nhttps://b.com/y#frag,link\n"
+    )
+    frontier = SnapshotTable(str(tmp_path / "frontier"))
+    frontier.overwrite(spark.createDataFrame([], FRONTIER))
+    q = ingest_seed_stream(
+        spark, str(seeds_dir), frontier, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    rows = frontier.read(spark, schema=FRONTIER).orderBy("url").collect()
+    urls = [r["url"] for r in rows]
+    assert urls == ["https://a.com/x", "https://b.com/y"]  # invalid dropped, fragment stripped
+    assert all(r["depth"] == 0 and r["attempts"] == 0 for r in rows)
+
+
+def test_hourly_rollup_stream_matches_batch(spark, tmp_path):
+    """availableNow over the events parquet must reproduce the batch
+    events_hourly rollup for on-time data."""
+    import shutil
+
+    from web_crawler_spark.streaming.ingest import hourly_rollup_stream
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    sdir = tmp_path / "events"
+    sdir.mkdir()
+    shutil.copy(src, sdir / "events.parquet")
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(str(sdir))
+    rolled = hourly_rollup_stream(stream)
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("rollup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["hour_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("select * from rollup_test").collect()
+    }
+    batch = spark.read.parquet(src)
+    cents = F.round(F.col("value") * 100).cast("long")
+    expected = {
+        (r["h"], r["event_type"]): (r["n"], r["sv"])
+        for r in batch.groupBy(
+            F.date_trunc("hour", "ts").alias("h"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), (F.sum(cents).cast("double") / 100.0).alias("sv"))
+        .collect()
+    }
+    # watermark may hold back the final open window(s) in append mode;
+    # everything emitted must match the batch result, and most must emit
+    assert got
+    for k, v in got.items():
+        assert expected[k] == v
+    assert len(got) >= len(expected) - len({k[1] for k in expected})

@@ -43,6 +43,13 @@ STOPWORDS = {
 LANG_ORDER = ["en", "de", "es", "fr"]  # deterministic tie-break order
 
 
+def clean_text(c: Column) -> Column:
+    """U12 (crawler/parser.py:174-178, clean_content :217-223): strip each
+    line, drop empty lines' extra whitespace, collapse ≥3 newlines to 2."""
+    stripped = F.regexp_replace(F.regexp_replace(c, r"[ \t]*\n[ \t]*", "\n"), r"^[ \t]+|[ \t]+$", "")
+    return F.trim(F.regexp_replace(stripped, r"\n{3,}", "\n\n"))
+
+
 def md5_long(c: Column) -> Column:
     """60-bit deterministic hash: first 15 hex chars of MD5 as BIGINT.
 

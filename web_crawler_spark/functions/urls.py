@@ -200,6 +200,33 @@ def domain_and_path_slug(url: Column) -> Column:
     ).otherwise(F.concat(host_slug, F.lit("_"), seg_slug))
 
 
+def output_name(
+    url: Column, run_ts: Column, fmt: Column, bulk_index: Column | None = None
+) -> Column:
+    """U9 (writer.py:55-99): `{NNN_}{slug}_{yyyyMMdd_HHmm}.{fmt}`.
+
+    ``run_ts`` is an explicit run parameter, never wall clock — the
+    reference stamps `datetime.now()` (writer.py:16-23) which would make
+    outputs irreproducible across retries and cluster re-runs."""
+    stamp = F.date_format(run_ts, "yyyyMMdd_HHmm")
+    base = F.concat(domain_and_path_slug(url), F.lit("_"), stamp, F.lit("."), fmt)
+    if bulk_index is None:
+        return base
+    return F.concat(F.format_string("%03d_", bulk_index), base)
+
+
+def parse_cookie_string(s: Column) -> Column:
+    """U10 (api/tasks.py:586-608): `{"k": "v"}` JSON or `k1=v1; k2=v2`
+    pairs → map<string,string>. Invalid JSON falls back to the pair parser
+    (error-as-data: never an exception)."""
+    from pyspark.sql.types import MapType, StringType
+
+    trimmed = F.trim(s)
+    as_json = F.from_json(trimmed, MapType(StringType(), StringType()))
+    as_pairs = F.str_to_map(trimmed, F.lit("; "), F.lit("="))
+    return F.when(trimmed.startswith("{"), as_json).otherwise(as_pairs)
+
+
 # ---------------------------------------------------------------------------
 # Oracle-side single-value helpers (shared semantics, no Spark)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,86 @@
+"""Sink-side operators: ordered result concatenation and image-path rewrite.
+
+- ``combine_results``     K5 (api/tasks.py:611-694): concatenate per-URL
+                          outputs into one document, in input order, with NO
+                          separators (:649,:658,:666 — the ordering contract
+                          the reference fixes).
+- ``rewrite_image_paths`` U18/U19 (crawler/converters.py:62-82, 185-202):
+                          swap remote image URLs for local paths per a
+                          url→path mapping, in markdown ``![alt](url)`` or
+                          html ``<img src>`` bodies.
+- ``download_tally``      A4 (image_downloader.py:156-229): per-status
+                          counts + details list.
+
+Scale notes: combine_results is an ordered global aggregation — inherently
+single-reducer at the final step (it produces ONE value); the sort is
+distributed and only the bounded concat runs on one task. The rewrite
+mapping is broadcast (small dim by contract — images per page); the body
+pass is one Arrow-batched pandas UDF, linear in corpus size.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def combine_results(
+    df: DataFrame, order_col: str, content_col: str
+) -> DataFrame:
+    """One row, one string: contents concatenated in ``order_col`` order
+    with no separator (the reference's combined-results contract)."""
+    return df.orderBy(F.col(order_col).asc()).agg(
+        F.concat_ws("", F.collect_list(F.col(content_col))).alias("combined")
+    )
+
+
+_MD_IMG = re.compile(r"(!\[[^\]]*\]\()([^)]+)(\))")
+_HTML_IMG = re.compile(r"""(<img\b[^>]*\bsrc=["'])([^"']+)(["'])""", re.IGNORECASE)
+
+
+def rewrite_image_paths(
+    df: DataFrame,
+    mapping: DataFrame,
+    *,
+    content_col: str = "content",
+    style: str = "markdown",
+) -> DataFrame:
+    """Rewrite image references in ``content_col`` per a (url, local_path)
+    mapping DataFrame.
+
+    The mapping is collected and broadcast (small-dim contract: it is the
+    per-job image manifest, reference builds it as a dict —
+    image_downloader.py:205); the body rewrite is a scalar pandas UDF over
+    Arrow batches. Unmapped URLs pass through unchanged.
+    """
+    pairs = {r["url"]: r["local_path"] for r in mapping.collect()}
+    bc = df.sparkSession.sparkContext.broadcast(pairs)
+    pattern = _MD_IMG if style == "markdown" else _HTML_IMG
+
+    @F.pandas_udf("string")
+    def rewrite(content: pd.Series) -> pd.Series:
+        m = bc.value
+
+        def one(text: str | None) -> str | None:
+            if text is None:
+                return None
+            return pattern.sub(
+                lambda g: g.group(1) + m.get(g.group(2), g.group(2)) + g.group(3),
+                text,
+            )
+
+        return content.map(one)
+
+    return df.withColumn(content_col, rewrite(F.col(content_col)))
+
+
+def download_tally(df: DataFrame, status_col: str = "status") -> DataFrame:
+    """A4: successful/failed counts plus a details list per status."""
+    return df.groupBy(status_col).agg(
+        F.count("*").alias("n"),
+        F.sort_array(F.collect_list(F.col("url"))).alias("urls"),
+    )

@@ -892,6 +892,133 @@ FROM documents
 """
 
 
+def q_combined_concat(spark, sf_dir):
+    """K5 (api/tasks.py:611-694): per-URL outputs concatenated in input
+    order with NO separator — the reference's combined-results contract."""
+    from ..operators.sinks import combine_results
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return combine_results(d, "doc_id", "text")
+
+
+SQL_COMBINED_CONCAT = """
+SELECT string_agg(text, '' ORDER BY doc_id ASC) AS combined
+FROM documents WHERE doc_id < 100
+"""
+
+
+def q_output_naming(spark, sf_dir):
+    """U9 (crawler/writer.py:55-99): deterministic output file naming with
+    an explicit run timestamp (never wall clock) and zero-padded bulk
+    index."""
+    p = t(spark, sf_dir, "part")
+    url = F.concat(
+        F.lit("https://img"), (F.col("p_partkey") % 7).cast("string"),
+        F.lit(".example.com/p/"), F.col("p_partkey").cast("string"),
+    )
+    run_ts = F.to_timestamp(F.lit("2026-01-15 10:30:00"))
+    return p.select(
+        "p_partkey",
+        U.output_name(url, run_ts, F.lit("md"), F.col("p_partkey") % 1000).alias(
+            "file_name"
+        ),
+    )
+
+
+SQL_OUTPUT_NAMING = """
+SELECT p_partkey,
+       printf('%03d_', p_partkey % 1000)
+         || 'img' || CAST(p_partkey % 7 AS VARCHAR) || '_example_com'
+         || '_p_' || '20260115_1030.md' AS file_name
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only entries (no SQL twin): the crawl engine itself + membership tiers
+# ---------------------------------------------------------------------------
+
+_FIXTURE_CACHE: dict[str, str] = {}
+
+
+def _crawl_demo(spark, sf_dir: str):
+    """Run the real CrawlRun end-to-end on a small generated site fixture
+    (seeded, deterministic) and return the tables. Cached per-process."""
+    import tempfile
+
+    from ..plans.round import CrawlConfig, CrawlRun
+    from ..sources.fixtures import generate_site, load_fixture
+    from ..sources.seeds import read_seeds
+
+    if "run" in _FIXTURE_CACHE:
+        return _FIXTURE_CACHE["run"]
+    if "fixture" not in _FIXTURE_CACHE:
+        d = tempfile.mkdtemp(prefix="wcs-demo-fixture-")
+        generate_site(d, n_pages=120, n_hosts=8, n_seeds=6, neardup_rate=0.1)
+        _FIXTURE_CACHE["fixture"] = d
+    fdir = _FIXTURE_CACHE["fixture"]
+    run_dir = tempfile.mkdtemp(prefix="wcs-demo-run-")
+    run = CrawlRun(
+        spark,
+        run_dir,
+        urls=load_fixture(spark, fdir, "urls"),
+        links=load_fixture(spark, fdir, "links"),
+        pages=load_fixture(spark, fdir, "pages"),
+        robots=load_fixture(spark, fdir, "robots"),
+        config=CrawlConfig(default_host_budget=3, max_rounds=4),
+    )
+    run.start(read_seeds(spark, f"{fdir}/seeds.csv"))
+    run.run(until_empty=True)
+    _FIXTURE_CACHE["run"] = run
+    return run
+
+
+def q_crawl_fetch_log(spark, sf_dir):
+    """The flagship engine end-to-end (rows-only check: not SQL-expressible
+    — stateful multi-round loop with UDF-validated image bytes). Returns
+    the deterministic fetch log of a 4-round crawl over a seeded fixture."""
+    from ..schemas import FETCH_LOG
+
+    run = _crawl_demo(spark, sf_dir)
+    return (
+        run.fetch_log_t.read(spark, schema=FETCH_LOG)
+        .orderBy("round", "fetch_seq", "url")
+        .select("round", "fetch_seq", "url", "status", "error_type", "psnr_db")
+    )
+
+
+def q_crawl_metrics(spark, sf_dir):
+    """Per-round lineage counters of the same crawl (rows-only check)."""
+    from ..schemas import METRICS
+
+    run = _crawl_demo(spark, sf_dir)
+    return run.metrics_t.read(spark, schema=METRICS).orderBy("round")
+
+
+def q_bloom_prefilter_stats(spark, sf_dir):
+    """D4 scale tier (rows-only): partitioned-Bloom membership prefilter.
+    Build over the orders keyspace, probe a half-overlapping key range;
+    definite-negatives skip the exact anti-join, positives (hits + false
+    positives) fall through to it — exactness never depends on the filter."""
+    from ..operators.bloom import PartitionedBloom
+
+    o = t(spark, sf_dir, "orders").select(
+        F.xxhash64(F.col("o_orderkey")).alias("url_hash")
+    )
+    n_keys = o.count()
+    bloom = PartitionedBloom.sized_for(expected_keys=max(n_keys, 1), n_partitions=16)
+    bloom.build_from(o)
+    probe = spark.range(0, 30000).select(
+        F.col("id").alias("key"), F.xxhash64(F.col("id")).alias("url_hash")
+    )
+    probed = bloom.probe(probe)
+    return (
+        probed.groupBy(F.col("might_contain").alias("maybe_seen"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("maybe_seen")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -930,4 +1057,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     # multimodal plumbing
     "media_meta": (q_media_meta, SQL_MEDIA_META),
+    # sinks / naming
+    "combined_concat": (q_combined_concat, SQL_COMBINED_CONCAT),
+    "output_naming": (q_output_naming, SQL_OUTPUT_NAMING),
+    # rows-only: the crawl engine itself + membership tiers
+    "crawl_fetch_log": (q_crawl_fetch_log, None),
+    "crawl_metrics": (q_crawl_metrics, None),
+    "bloom_prefilter_stats": (q_bloom_prefilter_stats, None),
 }
