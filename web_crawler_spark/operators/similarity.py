@@ -87,20 +87,33 @@ def cosine_topk(
     Output (query_id, neighbor_id, rank, cosine·4dp); self-matches excluded;
     ties broken by neighbor_id asc so results are a total order.
     """
+    qv = quantize(F.col(vec_col))
+    # norms are computed ONCE per vector, not once per pair; the division
+    # chain dot/||a||/||b|| keeps the exact float shape of cosine_q
     q = corpus.select(
-        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"),
+        qv.alias("qv"),
+        F.sqrt(dot_q(qv, qv).cast("double")).alias("qn"),
     )
     if n_queries is not None:
         q = q.filter(F.col("query_id") < n_queries)
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        qv.alias("cv"),
+        F.sqrt(dot_q(qv, qv).cast("double")).alias("cn"),
     )
     from pyspark.sql import Window
 
     scored = (
         q.crossJoin(c)
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_q(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine",
+            F.when(
+                (F.col("qn") > 0) & (F.col("cn") > 0),
+                dot_q(F.col("qv"), F.col("cv")).cast("double") / F.col("qn") / F.col("cn"),
+            ),
+        )
         .filter(F.col("cosine").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -144,7 +157,10 @@ def lsh_assign(
         bit = F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bit if bucket is None else bucket + bit
     return df.select(
-        F.col(id_col).alias("vec_id_b"), qv.alias("qvec"), bucket.alias("bucket")
+        F.col(id_col).alias("vec_id_b"),
+        qv.alias("qvec"),
+        F.sqrt(dot_q(qv, qv).cast("double")).alias("qnorm"),
+        bucket.alias("bucket"),
     )
 
 
@@ -173,6 +189,7 @@ def ann_lsh_topk(
     q = assigned.select(
         F.col("vec_id_b").alias("query_id"),
         F.col("qvec").alias("qv"),
+        F.col("qnorm").alias("qn"),
         F.col("bucket").alias("qbucket"),
     )
     if n_queries is not None:
@@ -180,12 +197,19 @@ def ann_lsh_topk(
     c = assigned.select(
         F.col("vec_id_b").alias("neighbor_id"),
         F.col("qvec").alias("cv"),
+        F.col("qnorm").alias("cn"),
         F.col("bucket").alias("cbucket"),
     )
     scored = (
         q.join(c, F.col("qbucket") == F.col("cbucket"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_q(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine",
+            F.when(
+                (F.col("qn") > 0) & (F.col("cn") > 0),
+                dot_q(F.col("qv"), F.col("cv")).cast("double") / F.col("qn") / F.col("cn"),
+            ),
+        )
         .filter(F.col("cosine").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -214,14 +238,25 @@ def neardup_pairs(
         corpus, id_col=id_col, vec_col=vec_col, planes=planes, dims=dims
     )
     a = assigned.select(
-        F.col("vec_id_b").alias("id_a"), F.col("qvec").alias("va"), F.col("bucket").alias("ba")
+        F.col("vec_id_b").alias("id_a"), F.col("qvec").alias("va"),
+        F.col("qnorm").alias("na_"), F.col("bucket").alias("ba"),
     )
     b = assigned.select(
-        F.col("vec_id_b").alias("id_b"), F.col("qvec").alias("vb"), F.col("bucket").alias("bb")
+        F.col("vec_id_b").alias("id_b"), F.col("qvec").alias("vb"),
+        F.col("qnorm").alias("nb_"), F.col("bucket").alias("bb"),
     )
     return (
         a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("cosine", F.round(cosine_q(F.col("va"), F.col("vb")), 4))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.when(
+                    (F.col("na_") > 0) & (F.col("nb_") > 0),
+                    dot_q(F.col("va"), F.col("vb")).cast("double") / F.col("na_") / F.col("nb_"),
+                ),
+                4,
+            ),
+        )
         .filter(F.col("cosine").isNotNull() & (F.col("cosine") >= threshold))
         .select("id_a", "id_b", "cosine")
     )
