@@ -146,3 +146,44 @@ def test_hourly_rollup_stream_matches_batch(spark, tmp_path):
     for k, v in got.items():
         assert expected[k] == v
     assert len(got) >= len(expected) - len({k[1] for k in expected})
+
+
+def test_title_meta_link_fallbacks(spark):
+    from web_crawler_spark.functions.text import (
+        link_text_fallback,
+        meta_lookup,
+        title_or_fallback,
+    )
+
+    df = spark.createDataFrame(
+        [("T", "H", {"og:description": "og", "description": "d"}),
+         ("  ", "H", {"description": "d"}),
+         (None, " ", {})],
+        "title string, h1 string, meta map<string,string>",
+    )
+    rows = df.select(
+        title_or_fallback(F.col("title"), F.col("h1")).alias("t"),
+        meta_lookup(F.col("meta"), "description", "og:description").alias("m"),
+    ).collect()
+    assert [r["t"] for r in rows] == ["T", "H", "Untitled"]
+    assert [r["m"] for r in rows] == ["d", "d", None]
+    links = spark.createDataFrame([("click", "u1"), ("", "u2")], ["text", "url"])
+    got = links.select(link_text_fallback(F.col("text"), F.col("url")).alias("x")).collect()
+    assert [r["x"] for r in got] == ["click", "u2"]
+
+
+def test_export_sinks_roundtrip(spark, tmp_path):
+    from web_crawler_spark.operators.sinks import export_csv, export_json
+
+    df = spark.createDataFrame(
+        [(1, "u1", ["txt", "md"], {"k": "v"}), (2, "u2", [], {})],
+        "round int, url string, formats array<string>, meta map<string,string>",
+    )
+    jp, cp = str(tmp_path / "j"), str(tmp_path / "c")
+    export_json(df, jp, partition_by=["round"])
+    back = spark.read.json(jp)
+    assert back.count() == 2 and "formats" in back.columns
+    export_csv(df, cp)
+    flat = spark.read.option("header", True).csv(cp)
+    row = {r["url"]: r for r in flat.collect()}
+    assert row["u1"]["formats"] == '["txt","md"]'

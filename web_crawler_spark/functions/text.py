@@ -43,6 +43,32 @@ STOPWORDS = {
 LANG_ORDER = ["en", "de", "es", "fr"]  # deterministic tie-break order
 
 
+def title_or_fallback(
+    title: Column, h1: Column, default: str = "Untitled"
+) -> Column:
+    """U14 (crawler/parser.py:180-191): <title> else first <h1> else
+    'Untitled' — over pre-extracted columns (no DOM in the engine)."""
+    t_ = F.trim(title)
+    h_ = F.trim(h1)
+    return F.coalesce(
+        F.when(t_.isNotNull() & (F.length(t_) > 0), t_),
+        F.when(h_.isNotNull() & (F.length(h_) > 0), h_),
+        F.lit(default),
+    )
+
+
+def meta_lookup(meta: Column, *keys: str) -> Column:
+    """U15 (crawler/parser.py:193-215): first-present lookup over a
+    pre-extracted meta map column (e.g. description or og:description)."""
+    return F.coalesce(*[meta[k] for k in keys])
+
+
+def link_text_fallback(text: Column, url: Column) -> Column:
+    """U4 (crawler/link_extractor.py:60-79): anchor text, else the href."""
+    t_ = F.trim(text)
+    return F.when(t_.isNotNull() & (F.length(t_) > 0), t_).otherwise(url)
+
+
 def clean_text(c: Column) -> Column:
     """U12 (crawler/parser.py:174-178, clean_content :217-223): strip each
     line, drop empty lines' extra whitespace, collapse ≥3 newlines to 2."""

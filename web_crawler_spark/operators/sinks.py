@@ -78,6 +78,28 @@ def rewrite_image_paths(
     return df.withColumn(content_col, rewrite(F.col(content_col)))
 
 
+def export_json(df: DataFrame, path: str, *, partition_by: list[str] | None = None) -> None:
+    """K2 (crawler/writer.py:140-151): nested result records as JSON files.
+    Partitioning by e.g. round mirrors the reference's per-URL folders as
+    partition directories (K1)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.json(path)
+
+
+def export_csv(df: DataFrame, path: str) -> None:
+    """K4 (utils/csv_processor.py:185-207): flat results as CSV with header.
+    Array/map/struct columns are JSON-encoded per cell (CSV is flat)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    flat = df
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+            flat = flat.withColumn(f.name, F.to_json(F.col(f.name)))
+    flat.write.mode("overwrite").option("header", True).csv(path)
+
+
 def download_tally(df: DataFrame, status_col: str = "status") -> DataFrame:
     """A4: successful/failed counts plus a details list per status."""
     return df.groupBy(status_col).agg(

@@ -934,6 +934,26 @@ FROM part
 """
 
 
+def q_title_fallback(spark, sf_dir):
+    """U14/U4 (crawler/parser.py:180-191, link_extractor.py:60-79):
+    title → h1 → 'Untitled' coalescing over synthesized presence patterns."""
+    p = t(spark, sf_dir, "part")
+    title = F.when(F.col("p_partkey") % 3 == 0, F.col("p_name")).otherwise(F.lit(" "))
+    h1 = F.when(F.col("p_partkey") % 3 == 1, F.col("p_brand")).otherwise(F.lit(""))
+    return p.select(
+        "p_partkey", T.title_or_fallback(title, h1).alias("title")
+    )
+
+
+SQL_TITLE_FALLBACK = """
+SELECT p_partkey,
+       CASE WHEN p_partkey % 3 = 0 THEN p_name
+            WHEN p_partkey % 3 = 1 THEN p_brand
+            ELSE 'Untitled' END AS title
+FROM part
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only entries (no SQL twin): the crawl engine itself + membership tiers
 # ---------------------------------------------------------------------------
@@ -1057,9 +1077,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     # multimodal plumbing
     "media_meta": (q_media_meta, SQL_MEDIA_META),
-    # sinks / naming
+    # sinks / naming / scalar coalescing
     "combined_concat": (q_combined_concat, SQL_COMBINED_CONCAT),
     "output_naming": (q_output_naming, SQL_OUTPUT_NAMING),
+    "title_fallback": (q_title_fallback, SQL_TITLE_FALLBACK),
     # rows-only: the crawl engine itself + membership tiers
     "crawl_fetch_log": (q_crawl_fetch_log, None),
     "crawl_metrics": (q_crawl_metrics, None),
