@@ -187,3 +187,20 @@ def test_export_sinks_roundtrip(spark, tmp_path):
     flat = spark.read.option("header", True).csv(cp)
     row = {r["url"]: r for r in flat.collect()}
     assert row["u1"]["formats"] == '["txt","md"]'
+
+
+def test_html_to_markdown(spark):
+    from web_crawler_spark.operators.sinks import html_to_markdown
+
+    html = (
+        '<h1>Title</h1><p>See <a href="https://x.com/">site</a> and '
+        '<img src="https://x.com/a.png"></p>'
+    )
+    df = spark.createDataFrame([(html,), (None,)], ["content"])
+    rows = [r["content"] for r in html_to_markdown(df).collect()]
+    md = rows[0]
+    assert "# Title" in md
+    assert "[site](https://x.com/)" in md
+    assert "![](https://x.com/a.png)" in md or "![](https://x.com/a.png" in md
+    assert "<" not in md.replace("<br", "")  # tags gone
+    assert rows[1] is None

@@ -100,6 +100,57 @@ def export_csv(df: DataFrame, path: str) -> None:
     flat.write.mode("overwrite").option("header", True).csv(path)
 
 
+def html_to_markdown(df: DataFrame, *, content_col: str = "content") -> DataFrame:
+    """U17 (crawler/converters.py:35-60): HTML → Markdown via html2text when
+    the library is present (body_width=0, links and images kept — the
+    reference's configuration); otherwise a minimal deterministic fallback
+    (anchor/img/heading/paragraph conversion + tag strip) so the pipeline
+    stays runnable in dependency-free environments. Arrow-batched pandas
+    UDF either way — never on the frontier critical path."""
+    try:
+        import html2text  # noqa: F401
+
+        have_lib = True
+    except ImportError:
+        have_lib = False
+
+    @F.pandas_udf("string")
+    def convert(content: pd.Series) -> pd.Series:
+        if have_lib:
+            import html2text as h2t
+
+            h = h2t.HTML2Text()
+            h.body_width = 0
+            return content.map(lambda x: h.handle(x) if x is not None else None)
+
+        def fallback(x: str | None) -> str | None:
+            if x is None:
+                return None
+            out = re.sub(
+                r"""<a\b[^>]*href=["']([^"']*)["'][^>]*>(.*?)</a>""",
+                lambda m: f"[{m.group(2)}]({m.group(1)})", x,
+                flags=re.IGNORECASE | re.DOTALL,
+            )
+            out = re.sub(
+                r"""<img\b[^>]*src=["']([^"']*)["'][^>]*>""",
+                lambda m: f"![]({m.group(1)})", out, flags=re.IGNORECASE,
+            )
+            for i in range(1, 7):
+                out = re.sub(
+                    rf"<h{i}\b[^>]*>(.*?)</h{i}>",
+                    lambda m, i=i: "#" * i + " " + m.group(1) + "\n\n",
+                    out, flags=re.IGNORECASE | re.DOTALL,
+                )
+            out = re.sub(r"</p\s*>", "\n\n", out, flags=re.IGNORECASE)
+            out = re.sub(r"<br\s*/?>", "\n", out, flags=re.IGNORECASE)
+            out = re.sub(r"<[^>]+>", "", out)
+            return re.sub(r"\n{3,}", "\n\n", out).strip()
+
+        return content.map(fallback)
+
+    return df.withColumn(content_col, convert(F.col(content_col)))
+
+
 def download_tally(df: DataFrame, status_col: str = "status") -> DataFrame:
     """A4: successful/failed counts plus a details list per status."""
     return df.groupBy(status_col).agg(

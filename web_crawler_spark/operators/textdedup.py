@@ -75,7 +75,9 @@ def ngram_jaccard_pairs(
     Inverted-index formulation: explode distinct shingle hashes, self-join
     on the hash (only docs sharing ≥1 shingle ever meet), count shared
     shingles per pair, then J = |∩| / (|A|+|B|−|∩|). Output
-    (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded 4dp.
+    (doc_a, doc_b, n_inter, n_union, jaccard) with doc_a < doc_b; the
+    threshold is applied as an exact integer inequality, jaccard is a
+    4dp convenience column.
     """
     sh = _shingled(df, id_col, text_col, k)
     ex = sh.select("doc_id", F.explode("shingles").alias("h"))

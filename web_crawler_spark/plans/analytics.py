@@ -450,13 +450,15 @@ def q_events_hourly(spark, sf_dir):
     the §2.11 micro-batch loop), exact cents arithmetic."""
     e = t(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
-    hour = F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+    # ts is TIMESTAMP_NTZ: format it as a wall-clock string so the result is
+    # independent of whatever session timezone the harness runs under
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00")
     return (
-        e.groupBy("event_type", hour.alias("hour_epoch"))
+        e.groupBy("event_type", hour.alias("hour_ts"))
         .agg(F.count("*").alias("n"), F.sum(cents).alias("__c"))
         .select(
             "event_type",
-            "hour_epoch",
+            "hour_ts",
             "n",
             (F.col("__c").cast("double") / 100.0).alias("sum_value"),
         )
@@ -465,7 +467,7 @@ def q_events_hourly(spark, sf_dir):
 
 SQL_EVENTS_HOURLY = """
 SELECT event_type,
-       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_ts,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
 FROM events GROUP BY 1, 2
