@@ -1,0 +1,151 @@
+"""Two-tier membership (Bloom cold + cuckoo hot) wired into the round:
+exactness invariance, prefilter routing, lineage strata, resume with tiers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_crawler_spark.operators.membership import SeenTiers
+from web_crawler_spark.plans.round import CrawlConfig, CrawlRun
+from web_crawler_spark.schemas import FETCH_LOG, LINEAGE, METRICS, SEEN
+from web_crawler_spark.sources.fixtures import generate_site, load_fixture
+from web_crawler_spark.sources.seeds import read_seeds
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("tier-fixture"))
+    generate_site(d, n_pages=150, n_hosts=10, n_seeds=6, neardup_rate=0.08)
+    return d
+
+
+def _crawl(spark, fixture_dir, run_dir, use_bloom):
+    run = CrawlRun(
+        spark,
+        run_dir,
+        urls=load_fixture(spark, fixture_dir, "urls"),
+        links=load_fixture(spark, fixture_dir, "links"),
+        pages=load_fixture(spark, fixture_dir, "pages"),
+        robots=load_fixture(spark, fixture_dir, "robots"),
+        config=CrawlConfig(
+            default_host_budget=3,
+            max_rounds=5,
+            use_bloom=use_bloom,
+            flush_every=2,
+            hot_buckets=1 << 10,
+        ),
+    )
+    run.start(read_seeds(spark, f"{fixture_dir}/seeds.csv"))
+    metrics = run.run(until_empty=True)
+    return run, metrics
+
+
+def _log_rows(spark, run):
+    return sorted(
+        map(
+            tuple,
+            run.fetch_log_t.read(spark, schema=FETCH_LOG)
+            .select("round", "fetch_seq", "url", "status")
+            .collect(),
+        )
+    )
+
+
+def test_tiers_do_not_change_results(spark, fixture_dir, tmp_path_factory):
+    """The crawl with membership tiers enabled must produce the identical
+    fetch log and seen set as the exact-only crawl (the north rule's
+    exactness requirement), while actually routing rows through the
+    prefilter."""
+    r_plain, _ = _crawl(
+        spark, fixture_dir, str(tmp_path_factory.mktemp("plain")), False
+    )
+    r_tiers, m_tiers = _crawl(
+        spark, fixture_dir, str(tmp_path_factory.mktemp("tiers")), True
+    )
+    assert _log_rows(spark, r_plain) == _log_rows(spark, r_tiers)
+    seen_a = sorted(
+        r["url_hash"] for r in r_plain.seen_t.read(spark, schema=SEEN).collect()
+    )
+    seen_b = sorted(
+        r["url_hash"] for r in r_tiers.seen_t.read(spark, schema=SEEN).collect()
+    )
+    assert seen_a == seen_b
+    # the prefilter actually engaged: later rounds see tier positives
+    # (re-discovered URLs already settled) and negatives (fresh URLs)
+    later = [m for m in m_tiers if m["round"] >= 2]
+    assert any(m["rows_tier_negative"] > 0 for m in later)
+    assert any(m["rows_tier_positive"] > 0 for m in later)
+
+
+def test_lineage_strata_sum_to_metrics(spark, fixture_dir, tmp_path_factory):
+    run, metrics = _crawl(
+        spark, fixture_dir, str(tmp_path_factory.mktemp("lin")), True
+    )
+    lin = run.lineage_t.read(spark, schema=LINEAGE)
+    per_round = {
+        r["round"]: (r["s_in"], r["s_sel"], r["s_ok"])
+        for r in lin.groupBy("round")
+        .agg(
+            F.sum("rows_in").alias("s_in"),
+            F.sum("rows_selected").alias("s_sel"),
+            F.sum("rows_fetched_ok").alias("s_ok"),
+        )
+        .collect()
+    }
+    for m in metrics:
+        got = per_round.get(m["round"], (0, 0, 0))
+        assert got == (m["rows_in"], m["rows_selected"], m["rows_fetched_ok"])
+    # strata are real: at least one round spreads over several partitions
+    spread = lin.filter(F.col("rows_in") > 0).groupBy("round").count().collect()
+    assert any(r["count"] > 1 for r in spread)
+
+
+def test_resume_restores_tiers(spark, fixture_dir, tmp_path_factory):
+    """Kill after round 2, resume, finish: identical to an uninterrupted
+    tiers-enabled run, including the tier state (no spurious positives)."""
+    d_full = str(tmp_path_factory.mktemp("full"))
+    r_full, _ = _crawl(spark, fixture_dir, d_full, True)
+
+    d_int = str(tmp_path_factory.mktemp("interrupted"))
+    cfg = CrawlConfig(
+        default_host_budget=3, max_rounds=5, use_bloom=True, flush_every=2,
+        hot_buckets=1 << 10,
+    )
+    kw = dict(
+        urls=load_fixture(spark, fixture_dir, "urls"),
+        links=load_fixture(spark, fixture_dir, "links"),
+        pages=load_fixture(spark, fixture_dir, "pages"),
+        robots=load_fixture(spark, fixture_dir, "robots"),
+        config=cfg,
+    )
+    run1 = CrawlRun(spark, d_int, **kw)
+    run1.start(read_seeds(spark, f"{fixture_dir}/seeds.csv"))
+    run1.run_round()
+    run1.run_round()
+    # "crash": new object over the same run_dir, resume from checkpoint
+    run2 = CrawlRun(spark, d_int, **kw)
+    assert run2.resume() == 2
+    assert run2.tiers is not None and isinstance(run2.tiers, SeenTiers)
+    run2.run(until_empty=True)
+    assert _log_rows(spark, r_full) == _log_rows(spark, run2)
+
+
+def test_seen_tiers_unit(spark):
+    tiers = SeenTiers(expected_keys=1 << 12, hot_buckets=1 << 8, flush_every=2)
+    settled = list(range(1000, 1200))
+    tiers.add_settled(settled)
+    df = spark.range(900, 1300).select(F.col("id").alias("url_hash"))
+    probed = {r["url_hash"]: r["might_contain"] for r in tiers.probe(df).collect()}
+    assert all(probed[h] for h in settled)  # no false negatives (hot tier)
+    fresh = [h for h in range(900, 1000)]
+    fp = sum(probed[h] for h in fresh)
+    assert fp <= 5  # tiny false-positive rate on fresh keys
+    # flush moves keys into bloom; still no false negatives
+    tiers.flush()
+    probed2 = {r["url_hash"]: r["might_contain"] for r in tiers.probe(df).collect()}
+    assert all(probed2[h] for h in settled)
+    # hot-tier delete works pre-flush
+    tiers.add_settled([5000])
+    tiers.remove([5000])
+    assert not tiers.hot.contains(5000)

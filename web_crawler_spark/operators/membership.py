@@ -1,0 +1,174 @@
+"""The two-tier URL-seen membership stack (D4 at 10^10 scale).
+
+Combines the partitioned Bloom filter (bloom.py — cold tier, append-only,
+periodically absorbs the hot tier) with the cuckoo filter (cuckoo.py — hot
+tier for recently settled URLs, supports deletes) behind one probe:
+
+    might_contain(h) = bloom.might_contain(h) OR hot.contains(h)
+
+Routing per round (plans/round.py):
+    definite negatives (¬might_contain)  → schedulable immediately, SKIP the
+                                           exact anti-join entirely
+    positives (hits + false positives)   → confirmed against the exact seen
+                                           table (anti-join on a shrunken
+                                           probe side) — false-positive
+                                           rescue keeps the seen set EXACT
+
+Why the hot tier is driver-sized: the per-round settled batch is bounded by
+Σ host budgets (politeness caps it), so inserting settled hashes into a
+driver-local cuckoo filter is O(batch) regardless of frontier size. Every
+``flush_every`` rounds the accumulated hot keys are ORed into the Bloom
+blobs and the hot tier resets. On a production cluster the periodic Bloom
+rebuild instead runs distributed from the exact seen table
+(``PartitionedBloom.build_from``) — same blobs, same probe.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from .bloom import PartitionedBloom, _test_bits
+from .cuckoo import CuckooFilter
+from ..functions.hashing import mix64
+
+DEFAULT_FLUSH_EVERY = 4
+
+
+class SeenTiers:
+    """Bloom cold tier + cuckoo hot tier with a single DataFrame probe."""
+
+    def __init__(
+        self,
+        expected_keys: int = 1 << 20,
+        *,
+        bloom_partitions: int = 16,
+        hot_buckets: int = 1 << 12,
+        flush_every: int = DEFAULT_FLUSH_EVERY,
+    ):
+        self.bloom = PartitionedBloom.sized_for(
+            expected_keys=expected_keys, n_partitions=bloom_partitions
+        )
+        self.hot_buckets = hot_buckets
+        self.hot = CuckooFilter(hot_buckets)
+        self.flush_every = flush_every
+        self._pending: list[int] = []  # hot keys awaiting the next bloom flush
+        self._rounds_since_flush = 0
+
+    # ------------------------------------------------------------------ state
+
+    def add_settled(self, hashes: list[int]) -> None:
+        """Insert freshly settled url_hashes into the hot tier; on cuckoo
+        overflow flush immediately (correctness unaffected either way)."""
+        overflow = False
+        for h in hashes:
+            self._pending.append(int(h))
+            if not self.hot.insert(int(h)):
+                overflow = True
+        if overflow:
+            self.flush()
+
+    def remove(self, hashes: list[int]) -> None:
+        """Drop re-enqueued URLs from the hot tier (the delete support Bloom
+        lacks). Keys already flushed into Bloom stay there — a stale Bloom
+        positive only routes the row through the exact confirm, it cannot
+        make the engine skip a URL that must be fetched again, because
+        'must fetch again' rows re-enter the frontier directly."""
+        for h in hashes:
+            self.hot.delete(int(h))
+
+    def end_round(self) -> None:
+        self._rounds_since_flush += 1
+        if self._rounds_since_flush >= self.flush_every:
+            self.flush()
+
+    def flush(self) -> None:
+        """Absorb the hot tier into the Bloom blobs and reset it."""
+        if self._pending:
+            self.bloom.add_hashes(np.asarray(self._pending, dtype=np.int64))
+        self._pending = []
+        self.hot = CuckooFilter(self.hot_buckets)
+        self._rounds_since_flush = 0
+
+    # ------------------------------------------------------------------ probe
+
+    def probe(self, df: DataFrame, hash_col: str = "url_hash") -> DataFrame:
+        """Attach ``might_contain`` = bloom-hit OR hot-hit (one Arrow pass).
+
+        Broadcasts the blob dict + the cuckoo table (both MB-sized); the
+        per-partition blob layout is preserved, so the cluster-scale variant
+        (blobs as a table cogrouped by pkey) is the same computation.
+        """
+        m, k, p = self.bloom.m, self.bloom.k, self.bloom.p
+        n_buckets, seed = self.hot.n, self.hot.seed
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast(
+            (
+                {key: blob.tobytes() for key, blob in self.bloom.blobs.items()},
+                self.hot.table.tobytes(),
+            )
+        )
+
+        @F.pandas_udf(BooleanType())
+        def _probe(h: pd.Series) -> pd.Series:
+            blobs, hot_raw = bc.value
+            hv = h.to_numpy(np.int64)
+            out = np.zeros(len(hv), dtype=bool)
+            # bloom tier
+            pk = (hv % p + p) % p
+            for key in np.unique(pk):
+                raw = blobs.get(int(key))
+                if raw is None:
+                    continue
+                sel = pk == key
+                out[sel] = _test_bits(np.frombuffer(raw, np.uint8), hv[sel], m, k)
+            # hot tier (vectorized cuckoo lookup against the broadcast table)
+            table = np.frombuffer(hot_raw, np.uint16).reshape(n_buckets, 4)
+            u = hv.astype(np.uint64)
+            mixed = mix64(u, seed)
+            fp = (mixed & np.uint64(0xFFFF)).astype(np.uint16)
+            fp[fp == 0] = 1
+            b1 = ((mixed >> np.uint64(16)) % np.uint64(n_buckets)).astype(np.int64)
+            tag = mix64(fp.astype(np.uint64), seed ^ 0x5BF0)
+            b2 = ((b1.astype(np.uint64) ^ tag) % np.uint64(n_buckets)).astype(np.int64)
+            out |= (table[b1] == fp[:, None]).any(axis=1)
+            out |= (table[b2] == fp[:, None]).any(axis=1)
+            return pd.Series(out)
+
+        return df.withColumn("might_contain", _probe(F.col(hash_col)))
+
+    # ------------------------------------------------------------- persistence
+
+    def dump(self, path: str) -> None:
+        state = {
+            "bloom": (self.bloom.p, self.bloom.m, self.bloom.k, self.bloom.to_rows()),
+            "hot_buckets": self.hot_buckets,
+            "hot_table": self.hot.table.tobytes(),
+            "hot_count": self.hot.count,
+            "pending": self._pending,
+            "rounds_since_flush": self._rounds_since_flush,
+            "flush_every": self.flush_every,
+        }
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+
+    @classmethod
+    def load(cls, path: str) -> "SeenTiers":
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        p, m, k, rows = state["bloom"]
+        tiers = cls(flush_every=state["flush_every"], hot_buckets=state["hot_buckets"])
+        tiers.bloom = PartitionedBloom.from_rows(rows, p, m, k)
+        tiers.hot = CuckooFilter(state["hot_buckets"])
+        tiers.hot.table = (
+            np.frombuffer(state["hot_table"], np.uint16).reshape(tiers.hot.n, 4).copy()
+        )
+        tiers.hot.count = state["hot_count"]
+        tiers._pending = list(state["pending"])
+        tiers._rounds_since_flush = state["rounds_since_flush"]
+        return tiers

@@ -36,11 +36,11 @@ from pyspark.sql import functions as F
 from ..functions import urls as U
 from ..functions.images import psnr_vs_reference_udf
 from ..operators import faults
-from ..operators.bloom import PartitionedBloom
 from ..operators.dedupe import anti_join_seen, first_wins
 from ..operators.errors import classify_fetch
+from ..operators.membership import SeenTiers
 from ..operators.politeness import assign_fetch_seq, robots_filter, select_per_host
-from ..schemas import FETCH_LOG, FRONTIER, METRICS, SEEN
+from ..schemas import FETCH_LOG, FRONTIER, LINEAGE, METRICS, SEEN
 from ..sources.lake import SnapshotTable
 
 _FETCH_LOG_COLS = [f.name for f in FETCH_LOG.fields]
@@ -55,8 +55,14 @@ class CrawlConfig:
     max_rounds: int = 50
     follow_links: bool = True
     exclude_anchors: bool = True  # reference default: fragment-stripped dedupe
-    use_bloom: bool = False  # exactness never depends on this (prefilter only)
-    bloom_bits_per_key: int = 14
+    # membership tiers (D4): exactness NEVER depends on them — definite
+    # negatives skip the exact anti-join, positives are confirmed against it
+    use_bloom: bool = False
+    bloom_expected_keys: int = 1 << 20
+    bloom_partitions: int = 16
+    hot_buckets: int = 1 << 12
+    flush_every: int = 4
+    lineage_partitions: int = 16  # pkey strata for the per-partition lineage
 
 
 class CrawlRun:
@@ -84,8 +90,9 @@ class CrawlRun:
         self.seen_t = SnapshotTable(os.path.join(run_dir, "seen"))
         self.fetch_log_t = SnapshotTable(os.path.join(run_dir, "fetch_log"))
         self.metrics_t = SnapshotTable(os.path.join(run_dir, "metrics"))
+        self.lineage_t = SnapshotTable(os.path.join(run_dir, "lineage"))
         self.round = 0
-        self._bloom: PartitionedBloom | None = None
+        self.tiers: SeenTiers | None = None
 
     # ------------------------------------------------------------------
     # admission (reference: routes.py:108-241 + tasks.py:488-504)
@@ -139,6 +146,14 @@ class CrawlRun:
         self.fetch_log_t.overwrite(inv_log)
         self.seen_t.overwrite(self.spark.createDataFrame([], SEEN))
         self.metrics_t.overwrite(self.spark.createDataFrame([], METRICS))
+        self.lineage_t.overwrite(self.spark.createDataFrame([], LINEAGE))
+        if self.config.use_bloom:
+            self.tiers = SeenTiers(
+                self.config.bloom_expected_keys,
+                bloom_partitions=self.config.bloom_partitions,
+                hot_buckets=self.config.hot_buckets,
+                flush_every=self.config.flush_every,
+            )
         self.round = 0
         self._checkpoint()
 
@@ -285,12 +300,25 @@ class CrawlRun:
                 F.col("attempts").desc(),
             ],
         )
-        unseen = anti_join_seen(best, self.seen_t.read(self.spark, schema=SEEN))
-        if cfg.use_bloom and self._bloom is not None:
-            # prefilter: definite-negatives skip the exact anti-join; positives
-            # were already confirmed exact by the anti-join above. The bloom
-            # sits *before* the join at scale; order here keeps exactness.
-            pass  # wired in run_crawl via probe column; see bloom.py tests
+        seen_df = self.seen_t.read(self.spark, schema=SEEN)
+        tier_counts: dict[str, int] = {}
+        probed = None
+        if self.tiers is not None:
+            # two-tier prefilter: definite negatives skip the exact anti-join
+            # entirely; positives (hits + false positives) are confirmed
+            # against the exact seen table — the final set stays EXACT.
+            probed = self.tiers.probe(best).persist()
+            negatives = probed.filter(~F.col("might_contain")).drop("might_contain")
+            positives = probed.filter(F.col("might_contain")).drop("might_contain")
+            rescued = anti_join_seen(positives, seen_df)
+            unseen = negatives.unionByName(rescued)
+            tier_counts = {
+                "rows_tier_negative": negatives.count(),
+                "rows_tier_positive": positives.count(),
+                "rows_tier_fp": rescued.count(),  # bloom said yes, exact says new
+            }
+        else:
+            unseen = anti_join_seen(best, seen_df)
         allowed, blocked = robots_filter(unseen, self.robots)
         selected = select_per_host(
             allowed, self.robots, cfg.default_host_budget, cfg.salt_buckets
@@ -333,7 +361,15 @@ class CrawlRun:
         blocked_settled = blocked.select(
             "url_hash", "url", F.lit(rnd).alias("settled_round")
         )
-        self.seen_t.append(settled.unionByName(blocked_settled))
+        all_settled = settled.unionByName(blocked_settled)
+        self.seen_t.append(all_settled)
+        if self.tiers is not None:
+            # the settled batch is bounded by Σ host budgets → O(batch) to
+            # insert driver-side into the hot tier
+            self.tiers.add_settled(
+                [r["url_hash"] for r in all_settled.select("url_hash").collect()]
+            )
+            self.tiers.end_round()
 
         retries = fetched.filter(retryable).select(
             "url",
@@ -397,11 +433,44 @@ class CrawlRun:
             METRICS,
         )
         self.metrics_t.append(metrics_row)
+
+        # ---- per-partition lineage (north rule): counters stratified by the
+        # url_hash range partition, so an operator can audit exactly which
+        # hash ranges progressed in a round (and a resume can prove no
+        # partition silently lost rows).
+        P = self.config.lineage_partitions
+
+        def strata(df: DataFrame, name: str) -> DataFrame:
+            pk = F.pmod(F.col("url_hash"), F.lit(P)).cast("int")
+            return df.groupBy(pk.alias("pkey")).agg(F.count("*").alias(name))
+
+        lin = (
+            strata(frontier, "rows_in")
+            .join(strata(batch, "rows_selected"), "pkey", "full")
+            .join(strata(ok, "rows_fetched_ok"), "pkey", "full")
+            .join(
+                strata(fetched.filter(F.col("status") == "failed"), "rows_failed"),
+                "pkey",
+                "full",
+            )
+            .select(
+                F.lit(rnd).alias("round"),
+                "pkey",
+                *[
+                    F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+                    for c in ["rows_in", "rows_selected", "rows_fetched_ok", "rows_failed"]
+                ],
+            )
+        )
+        self.lineage_t.append(lin)
+
         batch.unpersist()
         fetched.unpersist()
+        if probed is not None:
+            probed.unpersist()
         self.round = rnd
         self._checkpoint()
-        return {"round": rnd, **counts}
+        return {"round": rnd, **counts, **tier_counts}
 
     def run(self, until_empty: bool = True) -> list[dict]:
         """The crawl loop (micro-batch by construction, SURVEY §2.11)."""
@@ -424,7 +493,13 @@ class CrawlRun:
             "seen_sid": self.seen_t.current_snapshot_id(),
             "fetch_log_sid": self.fetch_log_t.current_snapshot_id(),
             "metrics_sid": self.metrics_t.current_snapshot_id(),
+            "lineage_sid": self.lineage_t.current_snapshot_id(),
+            "tiers_file": None,
         }
+        if self.tiers is not None:
+            tf = os.path.join(self.run_dir, f"tiers-{self.round}.pkl")
+            self.tiers.dump(tf)
+            state["tiers_file"] = tf
         tmp = os.path.join(self.run_dir, f".ckpt-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(state, f)
@@ -441,9 +516,12 @@ class CrawlRun:
             (self.seen_t, "seen_sid"),
             (self.fetch_log_t, "fetch_log_sid"),
             (self.metrics_t, "metrics_sid"),
+            (self.lineage_t, "lineage_sid"),
         ]:
-            sid = state[key]
+            sid = state.get(key)
             if sid is not None and table.current_snapshot_id() != sid:
                 table.rollback(sid)
+        if state.get("tiers_file"):
+            self.tiers = SeenTiers.load(state["tiers_file"])
         self.round = state["round"]
         return self.round

@@ -152,8 +152,24 @@ SEEN = StructType(
 )
 
 # ---------------------------------------------------------------------------
-# metrics — per-round, per-partition lineage counters (north rule resume gate;
-# the reference's JobStore counter pattern, api/models.py:170-176, done right).
+# lineage — per-round, per-hash-partition counters (north rule resume gate):
+# pkey = pmod(url_hash, P) stratifies every counter so an auditor can prove
+# which hash ranges progressed in each round.
+# ---------------------------------------------------------------------------
+LINEAGE = StructType(
+    [
+        StructField("round", IntegerType(), False),
+        StructField("pkey", IntegerType(), False),
+        StructField("rows_in", LongType(), False),
+        StructField("rows_selected", LongType(), False),
+        StructField("rows_fetched_ok", LongType(), False),
+        StructField("rows_failed", LongType(), False),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# metrics — per-round global counters (the reference's JobStore counter
+# pattern, api/models.py:170-176, done right; per-partition detail above).
 # ---------------------------------------------------------------------------
 METRICS = StructType(
     [
