@@ -1017,6 +1017,15 @@ def q_crawl_metrics(spark, sf_dir):
     return run.metrics_t.read(spark, schema=METRICS).orderBy("round")
 
 
+def q_crawl_lineage(spark, sf_dir):
+    """Per-round, per-hash-partition lineage counters of the demo crawl
+    (north rule resume gate artifact; rows-only check)."""
+    from ..schemas import LINEAGE
+
+    run = _crawl_demo(spark, sf_dir)
+    return run.lineage_t.read(spark, schema=LINEAGE).orderBy("round", "pkey")
+
+
 def q_bloom_prefilter_stats(spark, sf_dir):
     """D4 scale tier (rows-only): partitioned-Bloom membership prefilter.
     Build over the orders keyspace, probe a half-overlapping key range;
@@ -1086,5 +1095,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # rows-only: the crawl engine itself + membership tiers
     "crawl_fetch_log": (q_crawl_fetch_log, None),
     "crawl_metrics": (q_crawl_metrics, None),
+    "crawl_lineage": (q_crawl_lineage, None),
     "bloom_prefilter_stats": (q_bloom_prefilter_stats, None),
 }
