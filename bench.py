@@ -120,6 +120,12 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     spark = get_spark("bench", parallelism=cpus)
+    # warm up codegen/JIT and the file index so the first timed query isn't
+    # charged session startup costs
+    spark.range(1_000_000).select(F.xxhash64("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -93,3 +93,23 @@ def test_fetch_seq_deterministic_across_parallelism(spark, frontier, robots):
     assert sorted((r.fetch_seq, r.url) for r in a) == sorted(
         (r.fetch_seq, r.url) for r in b
     )
+
+
+def test_crawl_delay_caps_budget(spark):
+    """A host demanding a crawl delay gets at most window/delay fetches per
+    round, even when max_per_round would allow more."""
+    from web_crawler_spark.operators.politeness import with_host_budget
+
+    frontier = spark.createDataFrame(
+        [(f"https://slow.com/{i}", "slow.com") for i in range(10)]
+        + [(f"https://fast.com/{i}", "fast.com") for i in range(10)],
+        ["url", "host"],
+    )
+    robots = spark.createDataFrame(
+        [("slow.com", None, 30_000, 8), ("fast.com", None, 100, 8)],
+        "host string, disallow_prefixes array<string>, crawl_delay_ms long, max_per_round int",
+    )
+    out = with_host_budget(frontier, robots, default_budget=8, round_window_ms=60_000)
+    budgets = {r["host"]: r["host_budget"] for r in out.select("host", "host_budget").distinct().collect()}
+    assert budgets["slow.com"] == 2   # 60000 / 30000
+    assert budgets["fast.com"] == 8   # delay cap (600) not binding

@@ -49,15 +49,38 @@ def robots_filter(
     return allowed, blocked
 
 
+DEFAULT_ROUND_WINDOW_MS = 60_000
+
+
 def with_host_budget(
-    frontier: DataFrame, robots: DataFrame, default_budget: int = DEFAULT_HOST_BUDGET
+    frontier: DataFrame,
+    robots: DataFrame,
+    default_budget: int = DEFAULT_HOST_BUDGET,
+    round_window_ms: int = DEFAULT_ROUND_WINDOW_MS,
 ) -> DataFrame:
-    """Attach the per-host round budget (robots.max_per_round, else default)."""
-    return frontier.join(
-        F.broadcast(robots.select("host", "max_per_round")), "host", "left"
-    ).withColumn(
-        "host_budget", F.coalesce(F.col("max_per_round"), F.lit(default_budget))
-    ).drop("max_per_round")
+    """Attach the per-host round budget.
+
+    budget = min(max_per_round (else default), ⌊round_window / crawl_delay⌋):
+    a host demanding a crawl delay can receive at most window/delay fetches
+    per scheduling round, the batch-dataflow expression of per-host rate
+    limiting (the reference only aspires to it — docs/dev-spec.md:1708).
+    """
+    base = F.coalesce(F.col("max_per_round"), F.lit(default_budget))
+    delay_cap = F.when(
+        F.col("crawl_delay_ms").isNotNull() & (F.col("crawl_delay_ms") > 0),
+        F.greatest(
+            (F.lit(round_window_ms) / F.col("crawl_delay_ms")).cast("int"), F.lit(1)
+        ),
+    )
+    return (
+        frontier.join(
+            F.broadcast(robots.select("host", "max_per_round", "crawl_delay_ms")),
+            "host",
+            "left",
+        )
+        .withColumn("host_budget", F.least(base, F.coalesce(delay_cap, base)))
+        .drop("max_per_round", "crawl_delay_ms")
+    )
 
 
 def two_phase_topk(
@@ -99,9 +122,10 @@ def select_per_host(
     robots: DataFrame,
     default_budget: int = DEFAULT_HOST_BUDGET,
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    round_window_ms: int = DEFAULT_ROUND_WINDOW_MS,
 ) -> DataFrame:
     """W4: ≤ budget rows per host, by (priority DESC, url_hash ASC), two-phase."""
-    budgeted = with_host_budget(frontier, robots, default_budget)
+    budgeted = with_host_budget(frontier, robots, default_budget, round_window_ms)
     order = [F.col("priority").desc(), F.col("url_hash").asc()]
     return two_phase_topk(
         budgeted,

@@ -55,6 +55,7 @@ class CrawlConfig:
     max_rounds: int = 50
     follow_links: bool = True
     exclude_anchors: bool = True  # reference default: fragment-stripped dedupe
+    round_window_ms: int = 60_000  # crawl-delay → per-round budget conversion
     # membership tiers (D4): exactness NEVER depends on them — definite
     # negatives skip the exact anti-join, positives are confirmed against it
     use_bloom: bool = False
@@ -141,6 +142,7 @@ class CrawlRun:
                 F.lit(None).cast("boolean").alias("phash_dup"),
                 F.lit(None).cast("int").alias("word_count"),
                 F.lit(None).cast("int").alias("char_count"),
+                F.lit(None).cast("int").alias("payload_len"),
             )
         )
         self.fetch_log_t.overwrite(inv_log)
@@ -227,6 +229,8 @@ class CrawlRun:
             ),
         ).drop("__earlier", "__seen_phash")
 
+        # E4: retain payload evidence per row (byte length; NULL if no fetch)
+        j = j.withColumn("payload_len", F.octet_length(F.col("bytes")).cast("int"))
         # content stats (U13; parser.py:257-266) over the caption text
         trimmed = F.trim(F.col("caption"))
         return j.withColumn(
@@ -321,7 +325,11 @@ class CrawlRun:
             unseen = anti_join_seen(best, seen_df)
         allowed, blocked = robots_filter(unseen, self.robots)
         selected = select_per_host(
-            allowed, self.robots, cfg.default_host_budget, cfg.salt_buckets
+            allowed,
+            self.robots,
+            cfg.default_host_budget,
+            cfg.salt_buckets,
+            cfg.round_window_ms,
         )
         batch = assign_fetch_seq(selected).persist()
         fetched = self._simulate_fetch(batch).persist()
@@ -348,6 +356,7 @@ class CrawlRun:
             F.lit(None).cast("boolean").alias("phash_dup"),
             F.lit(None).cast("int").alias("word_count"),
             F.lit(None).cast("int").alias("char_count"),
+            F.lit(None).cast("int").alias("payload_len"),
         )
         self.fetch_log_t.append(log_rows.unionByName(blocked_log))
 

@@ -136,6 +136,10 @@ FETCH_LOG = StructType(
         StructField("phash_dup", BooleanType(), True),
         StructField("word_count", IntegerType(), True),
         StructField("char_count", IntegerType(), True),
+        # E4 (error_handler.py:318-346): evidence of what was fetched is
+        # retained per row for debugging — the byte length of the payload
+        # (NULL when nothing was fetched).
+        StructField("payload_len", IntegerType(), True),
     ]
 )
 
