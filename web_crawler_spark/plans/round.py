@@ -295,6 +295,9 @@ class CrawlRun:
             ).otherwise(F.col("priority")),
         )
 
+        # persist the stage frames so the per-round counters don't recompute
+        # the dedupe window / probe / robots lineage once per count() action
+        frontier = frontier.persist()
         best = first_wins(
             frontier,
             "url_hash",
@@ -303,7 +306,7 @@ class CrawlRun:
                 F.col("discovered_round").asc(),
                 F.col("attempts").desc(),
             ],
-        )
+        ).persist()
         seen_df = self.seen_t.read(self.spark, schema=SEEN)
         tier_counts: dict[str, int] = {}
         probed = None
@@ -324,6 +327,8 @@ class CrawlRun:
         else:
             unseen = anti_join_seen(best, seen_df)
         allowed, blocked = robots_filter(unseen, self.robots)
+        allowed = allowed.persist()
+        blocked = blocked.persist()
         selected = select_per_host(
             allowed,
             self.robots,
@@ -409,14 +414,20 @@ class CrawlRun:
         self.frontier_t.overwrite(new_frontier)
 
         # ---- lineage counters (A5; models.py:170-176 done per-round)
+        fstats = fetched.agg(
+            F.count("*").alias("n_sel"),
+            F.count_if(F.col("status") == "success").alias("n_ok"),
+            F.count_if(F.col("status") == "failed").alias("n_failed"),
+            F.count_if(retryable).alias("n_retried"),
+        ).collect()[0]
         counts = {
             "rows_in": frontier.count(),
             "rows_deduped": 0,
             "rows_robots_blocked": blocked.count(),
-            "rows_selected": batch.count(),
-            "rows_fetched_ok": ok.count(),
-            "rows_failed": fetched.filter(F.col("status") == "failed").count(),
-            "rows_retried": retries.count(),
+            "rows_selected": fstats["n_sel"],
+            "rows_fetched_ok": fstats["n_ok"],
+            "rows_failed": fstats["n_failed"],
+            "rows_retried": fstats["n_retried"],
             "rows_discovered": discovered.count(),
         }
         counts["rows_deduped"] = counts["rows_in"] - best.count()
@@ -473,8 +484,8 @@ class CrawlRun:
         )
         self.lineage_t.append(lin)
 
-        batch.unpersist()
-        fetched.unpersist()
+        for df_ in (frontier, best, allowed, blocked, batch, fetched):
+            df_.unpersist()
         if probed is not None:
             probed.unpersist()
         self.round = rnd
