@@ -40,7 +40,7 @@ from ..operators.dedupe import anti_join_seen, first_wins
 from ..operators.errors import classify_fetch
 from ..operators.membership import SeenTiers
 from ..operators.politeness import assign_fetch_seq, robots_filter, select_per_host
-from ..schemas import FETCH_LOG, FRONTIER, LINEAGE, METRICS, SEEN
+from ..schemas import FETCH_LOG, FRONTIER, LINEAGE, METRICS, PHASH_SEEN, SEEN
 from ..sources.lake import SnapshotTable
 
 _FETCH_LOG_COLS = [f.name for f in FETCH_LOG.fields]
@@ -92,6 +92,7 @@ class CrawlRun:
         self.fetch_log_t = SnapshotTable(os.path.join(run_dir, "fetch_log"))
         self.metrics_t = SnapshotTable(os.path.join(run_dir, "metrics"))
         self.lineage_t = SnapshotTable(os.path.join(run_dir, "lineage"))
+        self.phash_seen_t = SnapshotTable(os.path.join(run_dir, "phash_seen"))
         self.round = 0
         self.tiers: SeenTiers | None = None
 
@@ -149,6 +150,7 @@ class CrawlRun:
         self.seen_t.overwrite(self.spark.createDataFrame([], SEEN))
         self.metrics_t.overwrite(self.spark.createDataFrame([], METRICS))
         self.lineage_t.overwrite(self.spark.createDataFrame([], LINEAGE))
+        self.phash_seen_t.overwrite(self.spark.createDataFrame([], PHASH_SEEN))
         if self.config.use_bloom:
             self.tiers = SeenTiers(
                 self.config.bloom_expected_keys,
@@ -195,16 +197,10 @@ class CrawlRun:
         j = classify_fetch(j)
 
         # phash near-dup suppression: a success whose phash was already seen
-        # (prior rounds' successes) or appears earlier in this batch.
-        prior_phash = (
-            self.fetch_log_t.read(self.spark, schema=FETCH_LOG)
-            .filter(F.col("status") == "success")
-            .join(
-                self.pages.select("image_id", "phash"), "image_id", "inner"
-            )
-            .select("phash")
-            .distinct()
-        )
+        # (prior rounds' successes — the incrementally-maintained phash_seen
+        # table, NOT an O(history) re-derivation from the fetch log) or
+        # appears earlier in this batch.
+        prior_phash = self.phash_seen_t.read(self.spark, schema=PHASH_SEEN)
         # earlier *success* in this batch with the same phash (failed rows with
         # a joined phash must not count as the "first" occurrence)
         w_batch = (
@@ -398,6 +394,20 @@ class CrawlRun:
 
         # ---- discovery (T3)
         ok = fetched.filter(F.col("status") == "success")
+
+        # incremental phash state: new distinct phashes among this round's
+        # successes (bounded by the fetch batch, not by history)
+        new_phash = (
+            ok.select("phash")
+            .filter(F.col("phash").isNotNull())
+            .distinct()
+            .join(
+                self.phash_seen_t.read(self.spark, schema=PHASH_SEEN),
+                "phash",
+                "left_anti",
+            )
+        )
+        self.phash_seen_t.append(new_phash)
         discovered = (
             self._discover(ok, rnd)
             if cfg.follow_links
@@ -514,6 +524,7 @@ class CrawlRun:
             "fetch_log_sid": self.fetch_log_t.current_snapshot_id(),
             "metrics_sid": self.metrics_t.current_snapshot_id(),
             "lineage_sid": self.lineage_t.current_snapshot_id(),
+            "phash_seen_sid": self.phash_seen_t.current_snapshot_id(),
             "tiers_file": None,
         }
         if self.tiers is not None:
@@ -537,6 +548,7 @@ class CrawlRun:
             (self.fetch_log_t, "fetch_log_sid"),
             (self.metrics_t, "metrics_sid"),
             (self.lineage_t, "lineage_sid"),
+            (self.phash_seen_t, "phash_seen_sid"),
         ]:
             sid = state.get(key)
             if sid is not None and table.current_snapshot_id() != sid:

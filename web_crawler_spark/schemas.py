@@ -156,6 +156,14 @@ SEEN = StructType(
 )
 
 # ---------------------------------------------------------------------------
+# phash_seen — distinct perceptual hashes of successfully fetched images so
+# far. Maintained incrementally per round: the alternative (re-deriving it
+# from the whole fetch_log each round) is O(history) per round and would not
+# survive the 10^10 design point.
+# ---------------------------------------------------------------------------
+PHASH_SEEN = StructType([StructField("phash", LongType(), False)])
+
+# ---------------------------------------------------------------------------
 # lineage — per-round, per-hash-partition counters (north rule resume gate):
 # pkey = pmod(url_hash, P) stratifies every counter so an auditor can prove
 # which hash ranges progressed in each round.
