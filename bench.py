@@ -50,6 +50,7 @@ HEADLINE = [
     "token_counts",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "embedding_neardup",
     "media_meta",
 ]
@@ -140,7 +141,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "headline operator suite wall time (21 queries)",
+                "metric": "headline operator suite wall time (22 queries)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

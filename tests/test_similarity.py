@@ -94,3 +94,24 @@ def test_plane_signs_are_md5_parity(spark):
         for d in range(5):
             expected = 1 if int(hashlib.md5(f"hp:{p}:{d}".encode()).hexdigest()[:15], 16) % 2 == 0 else -1
             assert S.plane_sign(p, d) == expected
+
+
+def test_ivf_results_are_exact_within_probed_cells(spark):
+    """Every IVF hit must carry the same cosine the brute-force path
+    computes, and cell assignment must be deterministic."""
+    df = _vecs(spark)
+    a1 = {r["vec_id_b"]: r["cell"] for r in S.ivf_assign(df, n_cells=4).collect()}
+    a2 = {r["vec_id_b"]: r["cell"] for r in S.ivf_assign(df, n_cells=4).collect()}
+    assert a1 == a2
+    assert set(a1.values()) <= set(range(4))
+    # the near-identical pair shares a cell
+    assert a1[0] == a1[40]
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in S.cosine_topk(df, k=41, n_queries=8).collect()
+    }
+    ivf = S.ann_ivf_topk(df, k=3, n_cells=4, nprobe=2, n_queries=8).collect()
+    assert ivf
+    for r in ivf:
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+        assert 1 <= r["rank"] <= 3

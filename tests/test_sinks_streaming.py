@@ -204,3 +204,46 @@ def test_html_to_markdown(spark):
     assert "![](https://x.com/a.png)" in md or "![](https://x.com/a.png" in md
     assert "<" not in md.replace("<br", "")  # tags gone
     assert rows[1] is None
+
+
+def test_politeness_gate_stateful(spark, tmp_path):
+    """applyInPandasWithState per-host budget: across multiple stream files,
+    at most N rows admitted per host, in (ts, url) order, with a running
+    admission sequence that survives micro-batch boundaries."""
+    import datetime as dt
+
+    from web_crawler_spark.streaming.stateful import politeness_gate
+
+    src = tmp_path / "cand"
+    src.mkdir()
+    base = dt.datetime(2026, 1, 1)
+    rows1 = [("h1.com", f"https://h1.com/{i}", base + dt.timedelta(seconds=i)) for i in range(4)]
+    rows2 = [("h1.com", f"https://h1.com/{i}", base + dt.timedelta(seconds=i)) for i in range(4, 8)]
+    rows2 += [("h2.com", f"https://h2.com/{i}", base + dt.timedelta(seconds=i)) for i in range(2)]
+    schema = "host string, url string, ts timestamp"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("overwrite").parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = politeness_gate(stream, budget_per_host=5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gate_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from gate_test").collect()
+    by_host: dict = {}
+    for r in got:
+        by_host.setdefault(r["host"], []).append(r)
+    assert len(by_host["h1.com"]) == 5  # budget binds across batches
+    seqs = sorted(r["admitted_seq"] for r in by_host["h1.com"])
+    assert seqs == [1, 2, 3, 4, 5]
+    assert len(by_host["h2.com"]) == 2  # under budget, all admitted

@@ -262,6 +262,128 @@ def neardup_pairs(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+) -> DataFrame:
+    """IVF cell assignment: each vector joins its nearest centroid's cell.
+
+    Centroids are the first ``n_cells`` corpus vectors — a deterministic,
+    training-free seeding (real IVF would k-means; the partition/probe
+    plumbing, which is what matters for the Spark layout, is identical).
+    The centroid side is tiny → broadcast join; assignment is
+    argmax-cosine with centroid-id tie-break, exact integer arithmetic.
+    Output (vec_id_b, qvec, qnorm, cell).
+    """
+    from pyspark.sql import Window
+
+    qv = quantize(F.col(vec_col))
+    vecs = corpus.select(
+        F.col(id_col).alias("vec_id_b"),
+        qv.alias("qvec"),
+        F.sqrt(dot_q(qv, qv).cast("double")).alias("qnorm"),
+    )
+    cents = corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"),
+        quantize(F.col(vec_col)).alias("cv"),
+        F.sqrt(dot_q(quantize(F.col(vec_col)), quantize(F.col(vec_col))).cast("double")).alias("cn"),
+    )
+    scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
+        "cos_c",
+        F.when(
+            (F.col("qnorm") > 0) & (F.col("cn") > 0),
+            dot_q(F.col("qvec"), F.col("cv")).cast("double") / F.col("qnorm") / F.col("cn"),
+        ),
+    )
+    w = Window.partitionBy("vec_id_b").orderBy(
+        F.col("cos_c").desc_nulls_last(), F.col("cell").asc()
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("vec_id_b", "qvec", "qnorm", "cell")
+    )
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    n_queries: int | None = 32,
+) -> DataFrame:
+    """IVF-flat approximate top-k: each query scans only its ``nprobe``
+    nearest cells. The cell equi-join is the only shuffle over the corpus;
+    recall/cost trade via nprobe. Output (query_id, neighbor_id, rank,
+    cosine·4dp); DuckDB oracle replays the identical assignment + probe.
+    """
+    from pyspark.sql import Window
+
+    assigned = ivf_assign(
+        corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells
+    )
+    qv = quantize(F.col(vec_col))
+    queries = corpus.select(
+        F.col(id_col).alias("query_id"),
+        qv.alias("qv"),
+        F.sqrt(dot_q(qv, qv).cast("double")).alias("qn"),
+    )
+    if n_queries is not None:
+        queries = queries.filter(F.col("query_id") < n_queries)
+    cents = corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"),
+        quantize(F.col(vec_col)).alias("cv"),
+        F.sqrt(dot_q(quantize(F.col(vec_col)), quantize(F.col(vec_col))).cast("double")).alias("cn"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_c").desc_nulls_last(), F.col("cell").asc()
+    )
+    probed_cells = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cos_c",
+            F.when(
+                (F.col("qn") > 0) & (F.col("cn") > 0),
+                dot_q(F.col("qv"), F.col("cv")).cast("double") / F.col("qn") / F.col("cn"),
+            ),
+        )
+        .withColumn("__r", F.row_number().over(probe_w))
+        .filter(F.col("__r") <= nprobe)
+        .select("query_id", "qv", "qn", "cell")
+    )
+    cand = (
+        probed_cells.join(assigned, "cell")
+        .filter(F.col("vec_id_b") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.when(
+                (F.col("qn") > 0) & (F.col("qnorm") > 0),
+                dot_q(F.col("qv"), F.col("qvec")).cast("double") / F.col("qn") / F.col("qnorm"),
+            ),
+        )
+        .filter(F.col("cosine").isNotNull())
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id_b").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id_b").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cosine", 4).alias("cosine"),
+        )
+    )
+
+
 def cosine_topk_numpy(
     corpus: DataFrame,
     *,

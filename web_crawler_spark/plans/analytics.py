@@ -838,6 +838,48 @@ WHERE rnk <= 3
 """
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-flat approximate top-3 (8 cells, nprobe 2) — the partitioned ANN
+    scale path; the oracle replays the identical assignment + probe."""
+    e = t(spark, sf_dir, "embeddings")
+    return SIM.ann_ivf_topk(e, k=3, n_cells=8, nprobe=2, n_queries=32)
+
+
+SQL_ANN_IVF_TOPK = f"""
+WITH {_QUANT_CTE},
+vn AS (SELECT vec_id, qv, sqrt({_dot_sql('qv', 'qv')}) AS nrm FROM v),
+cents AS (SELECT vec_id AS cell, qv AS cv, nrm AS cn FROM vn WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, qv, nrm, cell FROM (
+    SELECT vn.vec_id, vn.qv, vn.nrm, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY vn.vec_id
+             ORDER BY ({_dot_sql('vn.qv', 'c.cv')} / vn.nrm / c.cn) DESC, c.cell ASC
+           ) AS r
+    FROM vn, cents c)
+  WHERE r = 1),
+probe AS (
+  SELECT query_id, qv, nrm, cell FROM (
+    SELECT vn.vec_id AS query_id, vn.qv, vn.nrm, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY vn.vec_id
+             ORDER BY ({_dot_sql('vn.qv', 'c.cv')} / vn.nrm / c.cn) DESC, c.cell ASC
+           ) AS r
+    FROM vn, cents c WHERE vn.vec_id < 32)
+  WHERE r <= 2),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_dot_sql('p.qv', 'a.qv')} / p.nrm / a.nrm AS cosine
+  FROM probe p JOIN assign a USING (cell)
+  WHERE a.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, ROUND(cosine, 4) AS cosine
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+      FROM cand)
+WHERE rnk <= 3
+"""
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding near-dup pairs: cosine ≥ 0.4 within coarse 4-plane LSH
     buckets (corpus max pairwise cosine is ~0.51, so 0.4 exercises the
@@ -1085,6 +1127,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # training-data pipeline: similarity search
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     # multimodal plumbing
     "media_meta": (q_media_meta, SQL_MEDIA_META),
