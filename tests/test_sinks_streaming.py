@@ -63,13 +63,15 @@ def test_output_name(spark):
 
 def test_parse_cookie_string(spark):
     df = spark.createDataFrame(
-        [('{"a": "1", "b": "2"}',), ("k1=v1; k2=v2",), ("not json {",)], ["s"]
+        [('{"a": "1", "b": "2"}',), ("k1=v1; k2=v2",), ("k1=v1;k2=v2",),
+         ("{not valid json",)], ["s"]
     )
     rows = [r["m"] for r in df.select(parse_cookie_string(F.col("s")).alias("m")).collect()]
     assert rows[0] == {"a": "1", "b": "2"}
     assert rows[1] == {"k1": "v1", "k2": "v2"}
-    # malformed input degrades to a parse attempt, never an exception
-    assert rows[2] is None or isinstance(rows[2], dict)
+    assert rows[2] == {"k1": "v1", "k2": "v2"}  # no-space separator tolerated
+    # malformed JSON falls back to the pair parser, never an exception
+    assert isinstance(rows[3], dict)
 
 
 def test_clean_text(spark):
@@ -247,3 +249,16 @@ def test_politeness_gate_stateful(spark, tmp_path):
     seqs = sorted(r["admitted_seq"] for r in by_host["h1.com"])
     assert seqs == [1, 2, 3, 4, 5]
     assert len(by_host["h2.com"]) == 2  # under budget, all admitted
+
+
+def test_combine_results_multi_partition(spark):
+    """The K5 ordering contract must hold when the input spans many shuffle
+    partitions — the regression that a pre-agg orderBy does not survive
+    collect_list."""
+    n = 5000
+    df = spark.range(n).repartition(16).select(
+        F.col("id").alias("bulk_index"),
+        F.concat(F.lit("<"), F.col("id").cast("string"), F.lit(">")).alias("content"),
+    )
+    got = combine_results(df, "bulk_index", "content").collect()[0]["combined"]
+    assert got == "".join(f"<{i}>" for i in range(n))

@@ -149,3 +149,18 @@ def test_seen_tiers_unit(spark):
     tiers.add_settled([5000])
     tiers.remove([5000])
     assert not tiers.hot.contains(5000)
+
+
+def test_remove_never_creates_false_negatives(spark):
+    """Removing one hot key must never evict another key's entry (16-bit
+    fingerprint collisions make raw cuckoo deletes unsafe for keys the
+    filter may not hold)."""
+    tiers = SeenTiers(expected_keys=1 << 10, hot_buckets=1 << 6, flush_every=10)
+    keys = list(range(10_000, 10_100))
+    tiers.add_settled(keys)
+    # remove keys that were never inserted plus a few real ones
+    tiers.remove(list(range(50_000, 50_200)) + keys[:5])
+    survivors = keys[5:]
+    assert all(tiers.hot.contains(h) for h in survivors)
+    import numpy as np
+    assert tiers.hot.contains_batch(np.asarray(survivors, dtype=np.int64)).all()

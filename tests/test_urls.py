@@ -124,6 +124,8 @@ def test_sanitize_filename(spark):
             ("https://e.com/imgs/photo.jpg",),
             ("https://e.com/imgs/we<ird>.png",),
             ("https://e.com/",),
+            ("https://e.com",),
+            ("https://e.com?x=1",),
             ("https://e.com/" + "a" * 150 + ".png",),
         ],
         ["u"],
@@ -132,7 +134,10 @@ def test_sanitize_filename(spark):
     assert got[0] == "photo.jpg"
     assert got[1] == "we_ird_.png"
     assert got[2] == "image"
-    assert got[3] == "a" * 100 + ".png"
+    # path-less URLs must yield the reference default, never the hostname
+    assert got[3] == "image"
+    assert got[4] == "image"
+    assert got[5] == "a" * 100 + ".png"
 
 
 def test_image_extension(spark):

@@ -170,6 +170,14 @@ def phash64(pixels: np.ndarray) -> int:
     """
     h, w = pixels.shape[:2]
     gray = pixels.astype(np.float64).mean(axis=2)
+    # images narrower/shorter than 8px would produce empty 8×8 cells (NaN
+    # means → phash 0 for every tiny image); upsample by repetition first
+    if h < 8:
+        gray = np.repeat(gray, -(-8 // h), axis=0)
+        h = gray.shape[0]
+    if w < 8:
+        gray = np.repeat(gray, -(-8 // w), axis=1)
+        w = gray.shape[1]
     # block-mean downsample to 8×8 using cumulative trick (any w, h ≥ 8)
     ys = (np.linspace(0, h, 9)).astype(int)
     xs = (np.linspace(0, w, 9)).astype(int)

@@ -162,8 +162,11 @@ def sanitize_filename(url: Column) -> Column:
 
     Path extraction is regex-based (not try_parse_url) because the reference's
     urlparse is lenient about characters like <> that make java.net.URI reject
-    the whole URL."""
-    path = F.regexp_replace(url, r"[?#].*$", "")
+    the whole URL. The scheme+authority prefix is stripped FIRST so a
+    path-less URL ('https://example.com') yields the reference's 'image'
+    default, not the hostname."""
+    path = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    path = F.regexp_replace(path, r"[?#].*$", "")
     base = F.element_at(F.split(path, "/"), -1)
     cleaned = F.regexp_replace(base, r'[<>:"/\\|?*]', "_")
     stem = F.regexp_replace(cleaned, r"\.[^.]*$", "")
@@ -217,14 +220,17 @@ def output_name(
 
 def parse_cookie_string(s: Column) -> Column:
     """U10 (api/tasks.py:586-608): `{"k": "v"}` JSON or `k1=v1; k2=v2`
-    pairs → map<string,string>. Invalid JSON falls back to the pair parser
-    (error-as-data: never an exception)."""
+    pairs → map<string,string>. Malformed JSON falls back to the pair
+    parser (the reference's try/except shape — error-as-data, never an
+    exception); pair separators tolerate any whitespace after ';'."""
     from pyspark.sql.types import MapType, StringType
 
     trimmed = F.trim(s)
     as_json = F.from_json(trimmed, MapType(StringType(), StringType()))
-    as_pairs = F.str_to_map(trimmed, F.lit("; "), F.lit("="))
-    return F.when(trimmed.startswith("{"), as_json).otherwise(as_pairs)
+    as_pairs = F.str_to_map(
+        F.regexp_replace(trimmed, r";\s*", ";"), F.lit(";"), F.lit("=")
+    )
+    return F.coalesce(as_json, as_pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -253,11 +259,20 @@ def py_host(url: str) -> str | None:
         return None
 
 
+# Characters java.net.URI rejects outright (RFC 3986 excluded set); Python's
+# urlparse is lenient about them, so the oracle must exclude them explicitly
+# to keep engine/oracle validity parity (Spark's try_parse_url → NULL host).
+_URI_FORBIDDEN = set(' <>"{}|\\^`')
+
+
 def py_is_valid_url(url: str | None) -> bool:
     if not url or not url.strip():
         return False
+    if any(c in _URI_FORBIDDEN or ord(c) < 0x21 for c in url):
+        return False  # java.net.URI (engine side) rejects these outright
     try:
         p = urlparse(url)
+        host = p.hostname
     except ValueError:
         return False
-    return p.scheme in ("http", "https") and bool(p.netloc)
+    return p.scheme in ("http", "https") and bool(host)

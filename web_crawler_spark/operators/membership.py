@@ -59,12 +59,17 @@ class SeenTiers:
         self.flush_every = flush_every
         self._pending: list[int] = []  # hot keys awaiting the next bloom flush
         self._rounds_since_flush = 0
+        # probe broadcast reuse: republished only when the tier state changes
+        self._version = 0
+        self._bc = None
+        self._bc_version = -1
 
     # ------------------------------------------------------------------ state
 
     def add_settled(self, hashes: list[int]) -> None:
         """Insert freshly settled url_hashes into the hot tier; on cuckoo
         overflow flush immediately (correctness unaffected either way)."""
+        self._version += 1
         overflow = False
         for h in hashes:
             self._pending.append(int(h))
@@ -78,9 +83,23 @@ class SeenTiers:
         lacks). Keys already flushed into Bloom stay there — a stale Bloom
         positive only routes the row through the exact confirm, it cannot
         make the engine skip a URL that must be fetched again, because
-        'must fetch again' rows re-enter the frontier directly."""
-        for h in hashes:
-            self.hot.delete(int(h))
+        'must fetch again' rows re-enter the frontier directly.
+
+        Implemented as a rebuild from the pending key list rather than a
+        raw cuckoo delete: deleting a key the filter doesn't hold (or whose
+        16-bit fingerprint collides with another hot key) can evict the
+        OTHER key's entry — a false negative that would let a seen URL skip
+        the exact anti-join. The pending list is bounded by
+        flush_every·batch, so the rebuild is O(pending).
+        """
+        self._version += 1
+        drop = {int(h) for h in hashes}
+        self._pending = [h for h in self._pending if h not in drop]
+        self.hot = CuckooFilter(self.hot_buckets)
+        for h in self._pending:
+            if not self.hot.insert(h):
+                self.flush()
+                break
 
     def end_round(self) -> None:
         self._rounds_since_flush += 1
@@ -89,6 +108,7 @@ class SeenTiers:
 
     def flush(self) -> None:
         """Absorb the hot tier into the Bloom blobs and reset it."""
+        self._version += 1
         if self._pending:
             self.bloom.add_hashes(np.asarray(self._pending, dtype=np.int64))
         self._pending = []
@@ -107,12 +127,22 @@ class SeenTiers:
         m, k, p = self.bloom.m, self.bloom.k, self.bloom.p
         n_buckets, seed = self.hot.n, self.hot.seed
         spark = df.sparkSession
-        bc = spark.sparkContext.broadcast(
-            (
-                {key: blob.tobytes() for key, blob in self.bloom.blobs.items()},
-                self.hot.table.tobytes(),
+        # one broadcast per tier-state version, not per probe call — a long
+        # crawl would otherwise accumulate MB-scale stale broadcasts
+        if self._bc is None or self._bc_version != self._version:
+            if self._bc is not None:
+                try:
+                    self._bc.unpersist(blocking=False)
+                except Exception:  # noqa: BLE001 — best-effort cleanup
+                    pass
+            self._bc = spark.sparkContext.broadcast(
+                (
+                    {key: blob.tobytes() for key, blob in self.bloom.blobs.items()},
+                    self.hot.table.tobytes(),
+                )
             )
-        )
+            self._bc_version = self._version
+        bc = self._bc
 
         @F.pandas_udf(BooleanType())
         def _probe(h: pd.Series) -> pd.Series:

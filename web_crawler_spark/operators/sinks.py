@@ -32,9 +32,17 @@ def combine_results(
     df: DataFrame, order_col: str, content_col: str
 ) -> DataFrame:
     """One row, one string: contents concatenated in ``order_col`` order
-    with no separator (the reference's combined-results contract)."""
-    return df.orderBy(F.col(order_col).asc()).agg(
-        F.concat_ws("", F.collect_list(F.col(content_col))).alias("combined")
+    with no separator (the reference's combined-results contract).
+
+    The ordering is enforced INSIDE the aggregation (collect structs, sort
+    the array, then concat) — a pre-aggregation ``orderBy`` is not honored
+    by ``collect_list`` across shuffle partitions, so the naive form can
+    silently interleave partition chunks on multi-partition input.
+    """
+    pairs = F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(content_col).alias("c")))
+    ordered = F.transform(F.array_sort(pairs), lambda x: x["c"])
+    return df.agg(
+        F.concat_ws("", ordered).alias("combined")
     )
 
 

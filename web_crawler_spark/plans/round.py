@@ -227,15 +227,14 @@ class CrawlRun:
 
         # E4: retain payload evidence per row (byte length; NULL if no fetch)
         j = j.withColumn("payload_len", F.octet_length(F.col("bytes")).cast("int"))
-        # content stats (U13; parser.py:257-266) over the caption text
-        trimmed = F.trim(F.col("caption"))
+        # content stats (U13; parser.py:257-266) over the caption text —
+        # the same ws_token_count the documents queries use (one definition)
+        from ..functions.text import ws_token_count
+
         return j.withColumn(
             "word_count",
             F.when(
-                F.col("status") == "success",
-                F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
-                    F.size(F.split(trimmed, r"\s+"))
-                ),
+                F.col("status") == "success", ws_token_count(F.col("caption"))
             ).cast("int"),
         ).withColumn(
             "char_count",
@@ -301,6 +300,11 @@ class CrawlRun:
                 F.col("priority").desc(),
                 F.col("discovered_round").asc(),
                 F.col("attempts").desc(),
+                # rows can tie on everything above and differ only in
+                # provenance (same child found from two parents in one
+                # round); parent_url closes the total order so frontier
+                # snapshots are byte-identical across cluster sizes
+                F.col("parent_url").asc_nulls_first(),
             ],
         ).persist()
         seen_df = self.seen_t.read(self.spark, schema=SEEN)
@@ -412,7 +416,7 @@ class CrawlRun:
             self._discover(ok, rnd)
             if cfg.follow_links
             else self.spark.createDataFrame([], FRONTIER)
-        )
+        ).persist()  # referenced by the frontier overwrite, counts, lineage
 
         # ---- next frontier: unselected leftovers ∪ retries ∪ discoveries
         leftover = allowed.join(
@@ -494,7 +498,7 @@ class CrawlRun:
         )
         self.lineage_t.append(lin)
 
-        for df_ in (frontier, best, allowed, blocked, batch, fetched):
+        for df_ in (frontier, best, allowed, blocked, batch, fetched, discovered):
             df_.unpersist()
         if probed is not None:
             probed.unpersist()
