@@ -119,7 +119,10 @@ def frontier_throughput(spark, n_rows: int = 5_000_000) -> tuple[float, int]:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    import re
+
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    sf = float(m.group(1)) if m else None
     spark = get_spark("bench", parallelism=cpus)
     # warm up codegen/JIT and the file index so the first timed query isn't
     # charged session startup costs

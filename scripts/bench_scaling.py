@@ -50,8 +50,12 @@ def run_level(cpus: int) -> dict:
         capture_output=True, text=True, timeout=900,
         cwd="/root/repo",
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"child (local[{cpus}]) failed rc={out.returncode}:\n{out.stderr[-3000:]}"
+        )
+    return json.loads(lines[-1])
 
 
 def main():

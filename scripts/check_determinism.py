@@ -54,8 +54,12 @@ def run_level(cpus: int, fixture_dir: str) -> dict:
         [sys.executable, "-c", CHILD, str(cpus), fixture_dir],
         capture_output=True, text=True, timeout=900, cwd="/root/repo",
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("RESULT")][-1]
-    return json.loads(line[len("RESULT"):])
+    lines = [l for l in out.stdout.splitlines() if l.startswith("RESULT")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"child (local[{cpus}]) failed rc={out.returncode}:\n{out.stderr[-3000:]}"
+        )
+    return json.loads(lines[-1][len("RESULT"):])
 
 
 def main():

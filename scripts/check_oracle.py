@@ -16,7 +16,7 @@ import sys
 import duckdb
 import pandas as pd
 
-sys.path.insert(0, ".")
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 
 SF_DIR = "/root/testdata/sf0.01"
 TABLES = [
@@ -35,8 +35,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def values_equal(a, b) -> bool:
-    if a is None and b is None:
-        return True
+    try:
+        a_na, b_na = pd.isna(a), pd.isna(b)
+        if a_na is True or b_na is True:  # covers None, NaN, NaT
+            return bool(a_na) and bool(b_na)
+    except (TypeError, ValueError):
+        pass  # arrays etc. — fall through to ==
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True

@@ -262,3 +262,27 @@ def test_combine_results_multi_partition(spark):
     )
     got = combine_results(df, "bulk_index", "content").collect()[0]["combined"]
     assert got == "".join(f"<{i}>" for i in range(n))
+
+
+def test_read_seeds_is_header_name_keyed(spark, tmp_path):
+    """Seed CSVs with reordered columns must parse by NAME (the reference's
+    DictReader contract), not silently by position."""
+    import pytest as _pytest
+
+    from web_crawler_spark.sources.seeds import AdmissionError, read_seeds
+
+    p = tmp_path / "seeds.csv"
+    p.write_text(
+        "download_images,url,mode\n"
+        "yes,https://a.com/x,link\n"
+        ",https://b.com/y,\n"
+    )
+    rows = {r["url"]: r for r in read_seeds(spark, str(p)).collect()}
+    assert rows["https://a.com/x"]["download_images"] is True
+    assert rows["https://a.com/x"]["mode"] == "link"
+    assert rows["https://b.com/y"]["mode"] == "content"  # default applied
+    # a CSV without a url column is a hard admission error
+    p2 = tmp_path / "nourl.csv"
+    p2.write_text("link,mode\nx,content\n")
+    with _pytest.raises(AdmissionError):
+        read_seeds(spark, str(p2))

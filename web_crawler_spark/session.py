@@ -34,7 +34,13 @@ def get_spark(
     """
     cpus = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or None
     builder = SparkSession.builder.appName(app_name)
-    if cpus is not None and "SPARK_MASTER" not in os.environ:
+    # never override an externally configured master: spark-submit --master
+    # lands in the JVM-side conf (visible via SparkConf), SPARK_MASTER is
+    # the env-var route; only then fall back to local[N]
+    from pyspark import SparkConf
+
+    has_master = "SPARK_MASTER" in os.environ or SparkConf().contains("spark.master")
+    if cpus is not None and not has_master:
         builder = builder.master(f"local[{cpus}]")
     n_shuffle = shuffle_partitions or cpus or 32
     confs = {

@@ -147,7 +147,7 @@ def generate_site(
                     "#" in href,
                 )
             )
-        # ~2% dangling links to pages that don't exist (404 path)
+        # ~30% of pages carry one dangling link (404/retry path exercise)
         if rng.rand() < 0.3:
             pos += 1
             lrecs.append(

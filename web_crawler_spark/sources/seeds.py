@@ -34,7 +34,17 @@ def read_seeds(
     """Load + normalize a seed CSV → columns:
     row_index, url, mode, formats(array), download_images(bool), link_type,
     exclude_anchors(bool), scope_class, scope_id, row_number (csv line №)."""
-    raw = spark.read.schema(SEEDS_RAW).option("header", True).csv(path)
+    # Read header-aware (name-keyed, like the reference's DictReader):
+    # an explicit schema + header=True would map columns by POSITION and
+    # silently misparse reordered seed files. Missing optional columns
+    # become NULL; a missing 'url' column is a hard error.
+    raw = spark.read.option("header", True).csv(path)
+    if "url" not in raw.columns:
+        raise AdmissionError("seed CSV has no 'url' column")
+    for f_ in SEEDS_RAW.fieldNames():
+        if f_ not in raw.columns:
+            raw = raw.withColumn(f_, F.lit(None).cast("string"))
+    raw = raw.select(*[F.col(f_).cast("string") for f_ in SEEDS_RAW.fieldNames()])
     n = raw.count()
     if n > max_urls:
         raise AdmissionError(f"CSV has {n} URLs; limit is {max_urls}")

@@ -20,29 +20,58 @@ trigger.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import urls as U
 from ..operators import faults
 from ..schemas import FRONTIER, SEEDS_RAW
+from ..sources.seeds import MAX_URLS_PER_CSV
 
 _FRONTIER_COLS = [f.name for f in FRONTIER.fields]
 
 
-def _admit_batch(batch: DataFrame, batch_id: int, frontier_table) -> None:
+def _admit_batch(
+    batch: DataFrame,
+    batch_id: int,
+    frontier_table,
+    *,
+    exclude_anchors: bool = True,
+    max_urls_per_batch: int = MAX_URLS_PER_CSV,
+) -> None:
     """foreachBatch body: normalize seed rows → valid frontier rows appended
-    with strict per-batch FIFO priority (same semantics as CrawlRun.start;
-    batch_id stratifies priority so earlier files keep earlier order)."""
+    with strict per-batch FIFO priority.
+
+    Batch path parity caveats, by design:
+    - the admission gate TRUNCATES an oversized batch to ``max_urls_per_batch``
+      (the batch path raises; a stream cannot usefully raise per file);
+    - invalid rows are dropped (routing them to the fetch log is the crawl
+      round's job; the stream only feeds the frontier).
+
+    Priority: seeds stay in the depth-0 band strictly above discovered
+    links — batch b, row i gets ``seed_priority(b·MAX + i)``, clamped so
+    even pathological batch counts never cross into the depth-1 band
+    (``faults.DEPTH_PRIORITY_STEP``).
+    """
     w = Window.orderBy(F.monotonically_increasing_id())
-    seeds = batch.withColumn("row_index", F.row_number().over(w) - 1)
+    seeds = batch.withColumn("row_index", F.row_number().over(w) - 1).filter(
+        F.col("row_index") < max_urls_per_batch
+    )
+    url = U.remove_anchors(F.col("url")) if exclude_anchors else F.col("url")
+    seeds = seeds.withColumn("url", url)
     valid = seeds.filter(U.is_valid_url(F.col("url")))
+    offset = F.col("row_index") + F.lit(batch_id * max_urls_per_batch)
     rows = (
         valid.withColumn(
             "priority",
-            faults.seed_priority(F.col("row_index") + F.lit(batch_id) * 1_000_000),
+            F.greatest(
+                faults.seed_priority(offset),
+                F.lit(float(-(faults.DEPTH_PRIORITY_STEP - 1))),
+            ),
         )
-        .withColumn("url", U.remove_anchors(F.col("url")))
         .withColumn("url_hash", U.url_hash(F.col("url")))
         .withColumn("host", U.url_host(F.col("url")))
         .withColumn("depth", F.lit(0))
@@ -54,6 +83,23 @@ def _admit_batch(batch: DataFrame, batch_id: int, frontier_table) -> None:
     frontier_table.append(rows)
 
 
+def _idempotent_admit(batch, batch_id, frontier_table, marker_dir, **kw) -> None:
+    """Skip micro-batches already applied: foreachBatch replays the last
+    batch after a crash between the table append and the offset commit,
+    which would double-insert seed rows without this guard."""
+    os.makedirs(marker_dir, exist_ok=True)
+    marker = os.path.join(marker_dir, "last_applied_batch.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if batch_id <= json.load(f)["batch_id"]:
+                return
+    _admit_batch(batch, batch_id, frontier_table, **kw)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"batch_id": batch_id}, f)
+    os.replace(tmp, marker)
+
+
 def ingest_seed_stream(
     spark: SparkSession,
     seeds_dir: str,
@@ -61,12 +107,19 @@ def ingest_seed_stream(
     checkpoint_dir: str,
     *,
     available_now: bool = True,
+    exclude_anchors: bool = True,
 ):
     """Stream seed CSVs from a directory into the frontier table.
 
     Returns the StreamingQuery (already started). With ``available_now``
     the query drains existing files and stops — the test/CI mode; without
-    it the stream keeps watching the directory.
+    it the stream keeps watching the directory. Batch application is
+    idempotent on batch_id (exactly-once frontier appends across restarts).
+
+    Schema-on-read contract: file streams need the schema up front, so
+    streamed seed CSVs must follow the canonical SEEDS_RAW column order
+    (the batch path, sources/seeds.read_seeds, is header-name-keyed and
+    accepts any order).
     """
     src = (
         spark.readStream.schema(SEEDS_RAW)
@@ -74,9 +127,12 @@ def ingest_seed_stream(
         .option("maxFilesPerTrigger", 8)
         .csv(seeds_dir)
     )
+    marker_dir = os.path.join(checkpoint_dir, "applied")
     writer = (
         src.writeStream.foreachBatch(
-            lambda df, bid: _admit_batch(df, bid, frontier_table)
+            lambda df, bid: _idempotent_admit(
+                df, bid, frontier_table, marker_dir, exclude_anchors=exclude_anchors
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
     )
