@@ -17,7 +17,9 @@ implementations of the *dataflow* are independent.
 from __future__ import annotations
 
 import re
+import zlib
 from dataclasses import dataclass, field
+from urllib.parse import urlparse
 
 import pandas as pd
 
@@ -28,6 +30,7 @@ from web_crawler_spark.functions.images import (
     psnr,
     render_pixels,
 )
+from web_crawler_spark.functions.text import py_ws_token_count
 from web_crawler_spark.functions.urls import (
     py_canonicalize,
     py_host,
@@ -63,6 +66,7 @@ class OracleCrawler:
     links: dict[str, list[dict]]  # src_url -> [{href, pos}...] sorted by pos
     robots: dict[str, dict]  # host -> {prefixes, budget}
     default_budget: int = DEFAULT_HOST_BUDGET
+    round_window_ms: int = 60_000  # crawl-delay → per-round budget (engine twin)
     max_attempts: int = MAX_ATTEMPTS
     exclude_anchors: bool = True
     follow_links: bool = True
@@ -99,6 +103,9 @@ class OracleCrawler:
                 r.host: {
                     "prefixes": list(r.disallow_prefixes),
                     "budget": int(r.max_per_round),
+                    "crawl_delay_ms": int(r.crawl_delay_ms)
+                    if r.crawl_delay_ms is not None
+                    else None,
                 }
                 for r in robots_df.itertuples()
             },
@@ -152,8 +159,13 @@ class OracleCrawler:
     # ------------------------------------------------------------------
 
     def _path(self, url: str) -> str:
-        m = re.match(r"^[a-z]+://[^/]*(/.*)?$", url)
-        return (m.group(1) or "/") if m else "/"
+        """Engine twin of try_parse_url(url, 'PATH'): case-insensitive
+        scheme, query/fragment excluded, '' (not '/') for path-less URLs —
+        robots prefix matching must agree byte-for-byte."""
+        try:
+            return urlparse(url).path
+        except ValueError:
+            return ""
 
     def _fetch_one(self, row: FrontierRow, fetch_seq: int, rnd: int) -> dict:
         image_id = self.urls.get(row.url)
@@ -190,10 +202,16 @@ class OracleCrawler:
                 error_code="EMPTY_CONTENT", retry_possible=False,
             )
             return rec
+        caption = page["caption"]
+        # engine parity (round.py): caption_ok is evaluated for every
+        # non-transient row with bytes, regardless of decode success; an
+        # undecodable payload yields psnr_db = NULL (the UDF's NaN becomes
+        # SQL NULL through the Arrow pandas→JVM conversion)
+        rec["caption_ok"] = caption is not None
         try:
             px = decode_image(bytes(page["bytes"]))
             p = psnr(px, render_pixels(image_id, px.shape[1], px.shape[0]))
-        except ValueError:
+        except (ValueError, zlib.error):
             p = None
         rec["psnr_db"] = p
         if p is None:
@@ -208,19 +226,16 @@ class OracleCrawler:
                 error_code="PSNR_BELOW_THRESHOLD", retry_possible=False,
             )
             return rec
-        caption = page["caption"]
-        rec["caption_ok"] = caption is not None
         if caption is None:
             rec.update(
                 status="failed", error_type="validation_error",
                 error_code="CAPTION_MISMATCH", retry_possible=False,
             )
             return rec
-        stripped = caption.strip()
         rec.update(
             status="success", error_type=None, error_code=None,
             retry_possible=False,
-            word_count=len(re.split(r"\s+", stripped)) if stripped else 0,
+            word_count=py_ws_token_count(caption),
             char_count=len(caption),
         )
         return rec
@@ -284,9 +299,11 @@ class OracleCrawler:
             by_host.setdefault(r.host, []).append(r)
         selected: list[FrontierRow] = []
         for host, rows in by_host.items():
-            budget = self.robots.get(host or "", {}).get(
-                "budget", self.default_budget
-            )
+            pol = self.robots.get(host or "", {})
+            budget = pol.get("budget", self.default_budget)
+            delay = pol.get("crawl_delay_ms")
+            if delay:
+                budget = min(budget, max(1, int(self.round_window_ms / delay)))
             rows.sort(key=lambda r: (-r.priority, r.url_hash))
             selected.extend(rows[:budget])
 

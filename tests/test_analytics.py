@@ -73,3 +73,19 @@ def test_entry_contract(spark):
     sqls = E.oracle_sql()
     assert set(sqls) <= names
     assert len(names) >= 25
+
+
+def test_collision_suffix_dotfiles(spark):
+    """os.path.splitext parity: '.hidden' has no extension, so suffixes
+    append after the name, not before the dot."""
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.operators.dedupe import collision_suffix
+
+    df = spark.createDataFrame(
+        [(1, ".hidden"), (2, ".hidden"), (3, "a.jpg"), (4, "a.jpg")],
+        ["idx", "name"],
+    )
+    rows = {r["idx"]: r["final_name"] for r in collision_suffix(df, "name", "idx").collect()}
+    assert rows[1] == ".hidden" and rows[2] == ".hidden_1"
+    assert rows[3] == "a.jpg" and rows[4] == "a_1.jpg"

@@ -75,3 +75,25 @@ def test_cuckoo_overflow_signals():
             break
     assert not ok, "tiny filter must overflow and say so"
     assert cf.load_factor > 0.8
+
+
+def test_cuckoo_overflow_never_loses_keys():
+    """Overflow must never create a false negative: the displaced victim
+    stays findable via the stash, and a full filter refuses new inserts
+    without evicting (previously a failed insert silently dropped a key)."""
+    import numpy as np
+
+    from web_crawler_spark.operators.cuckoo import CuckooFilter
+
+    cf = CuckooFilter(2)  # tiny: 2 buckets × 4 slots
+    inserted = []
+    for h in range(100):
+        ok = cf.insert(h)
+        inserted.append(h)
+        if not ok:
+            break
+    # every key ever successfully handed to insert (incl. the overflow one,
+    # whose displacement victim went to the stash) must still be visible
+    for h in inserted:
+        assert cf.contains(h), h
+    assert cf.contains_batch(np.asarray(inserted, dtype=np.int64)).all()

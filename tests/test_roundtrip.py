@@ -59,7 +59,9 @@ def _norm_log(rows) -> list[tuple]:
     out = []
     for r in rows:
         psnr = r["psnr_db"]
-        if psnr is not None and not (isinstance(psnr, float) and math.isnan(psnr)):
+        if psnr is not None and isinstance(psnr, float) and math.isnan(psnr):
+            psnr = "nan"  # NaN != NaN would fail the tuple compare
+        elif psnr is not None:
             psnr = round(psnr, 6)
         out.append(
             (
@@ -130,3 +132,37 @@ def test_crawl_made_progress(oracle_result):
     assert retried_ok
     # near-dup suppression fired
     assert any(r["phash_dup"] for r in oc.fetch_log)
+
+
+def test_failure_path_parity_with_corrupt_pages(spark, tmp_path_factory):
+    """Engine/oracle parity over the full E1 taxonomy: corrupt payloads
+    (DECODE_FAILED, psnr=NaN with caption_ok still evaluated), missing
+    captions (CAPTION_MISMATCH), and empty bytes (EMPTY_CONTENT)."""
+    d = str(tmp_path_factory.mktemp("corrupt-fixture"))
+    generate_site(d, n_pages=120, n_hosts=8, n_seeds=6, corrupt_rate=0.25)
+
+    seeds = pd.read_csv(f"{d}/seeds.csv")
+    oracle = OracleCrawler.from_fixture(d)
+    oracle.start(list(seeds.url))
+    oracle.run(max_rounds=6)
+
+    seeds_df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(seeds.url)], ["row_index", "url"]
+    )
+    run = CrawlRun(
+        spark,
+        str(tmp_path_factory.mktemp("corrupt-run")),
+        urls=load_fixture(spark, d, "urls"),
+        links=load_fixture(spark, d, "links"),
+        pages=load_fixture(spark, d, "pages"),
+        robots=load_fixture(spark, d, "robots"),
+        config=CrawlConfig(max_rounds=6),
+    )
+    run.start(seeds_df)
+    run.run()
+    engine_rows = run.fetch_log_t.read(spark).collect()
+
+    assert _norm_log(engine_rows) == _norm_log(oracle.fetch_log)
+    codes = {r["error_code"] for r in engine_rows if r["error_code"]}
+    # the corrupt fixture must actually exercise the content-failure paths
+    assert {"DECODE_FAILED", "CAPTION_MISMATCH", "EMPTY_CONTENT"} & codes

@@ -93,6 +93,22 @@ def ws_token_count(c: Column) -> Column:
     )
 
 
+def py_ws_token_count(s: str | None) -> int | None:
+    """Bit-exact Python twin of :func:`ws_token_count` for the oracle
+    crawler. Mirrors the JVM semantics precisely: Spark ``trim`` strips
+    ASCII spaces only, and Java ``\\s`` is the ASCII class
+    ``[ \\t\\n\\x0B\\f\\r]`` — a Python ``str.strip()`` + ``re \\s`` twin
+    would diverge on tabs-only strings and Unicode whitespace."""
+    import re as _re
+
+    if s is None:
+        return None
+    trimmed = s.strip(" ")
+    if len(trimmed) == 0:
+        return 0
+    return len(_re.split(r"[ \t\n\x0b\f\r]+", trimmed))
+
+
 def regex_token_count(c: Column) -> Column:
     """BPE-ish surface token count via TOKEN_RE (letters/digits/punct runs)."""
     return F.size(F.regexp_extract_all(c, F.lit(TOKEN_RE), F.lit(0)))

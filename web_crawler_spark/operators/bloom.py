@@ -81,6 +81,10 @@ class PartitionedBloom:
         self.m = bits_per_partition
         self.k = n_hashes
         self.blobs: dict[int, np.ndarray] = {}
+        # probe broadcast reuse (republished only when blobs change)
+        self._version = 0
+        self._bc = None
+        self._bc_version = -1
 
     @classmethod
     def sized_for(
@@ -93,6 +97,7 @@ class PartitionedBloom:
     # -- driver-side (small batches, oracle parity, tests) ----------------
 
     def add_hashes(self, hashes: np.ndarray | list[int]) -> None:
+        self._version += 1
         h = np.asarray(hashes, dtype=np.int64)
         pk = (h % self.p + self.p) % self.p
         for key in np.unique(pk):
@@ -132,6 +137,7 @@ class PartitionedBloom:
             .applyInPandas(build_group, BLOB_SCHEMA)
             .collect()
         )
+        self._version += 1
         for r in rows:
             blob = np.frombuffer(r.bits, dtype=np.uint8).copy()
             if r.pkey in self.blobs:
@@ -148,9 +154,17 @@ class PartitionedBloom:
         """
         m, k, p = self.m, self.k, self.p
         spark = df.sparkSession
-        bc = spark.sparkContext.broadcast(
-            {key: blob.tobytes() for key, blob in self.blobs.items()}
-        )
+        if self._bc is None or self._bc_version != self._version:
+            if self._bc is not None:
+                try:
+                    self._bc.unpersist(blocking=False)
+                except Exception:  # noqa: BLE001 — best-effort cleanup
+                    pass
+            self._bc = spark.sparkContext.broadcast(
+                {key: blob.tobytes() for key, blob in self.blobs.items()}
+            )
+            self._bc_version = self._version
+        bc = self._bc
 
         @F.pandas_udf(BooleanType())
         def _probe(h: pd.Series) -> pd.Series:
@@ -180,6 +194,7 @@ class PartitionedBloom:
         cls, rows, n_partitions: int, bits_per_partition: int, n_hashes: int
     ) -> "PartitionedBloom":
         bf = cls(n_partitions, bits_per_partition, n_hashes)
+        bf._version += 1
         for key, raw in rows:
             bf.blobs[int(key)] = np.frombuffer(raw, dtype=np.uint8).copy()
         return bf

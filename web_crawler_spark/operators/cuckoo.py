@@ -38,6 +38,10 @@ class CuckooFilter:
         self.seed = seed
         self.table = np.zeros((n, 4), dtype=np.uint16)
         self.count = 0
+        # victim stash: the one fingerprint displaced by an exhausted kick
+        # loop lives here so an overflow NEVER loses a previously-inserted
+        # key (no-false-negative contract); (fingerprint, bucket) or None
+        self.victim: tuple[int, int] | None = None
 
     # -- scalar helpers ------------------------------------------------------
 
@@ -53,7 +57,13 @@ class CuckooFilter:
         return (bucket ^ tag_hash) % self.n
 
     def insert(self, h: int) -> bool:
-        """Insert a 64-bit key hash; False = overflow (caller must flush)."""
+        """Insert a 64-bit key hash; False = overflow (caller must flush).
+
+        Overflow never loses a key: if the stash is occupied no eviction is
+        even attempted (the incoming key is simply not inserted — the caller
+        flushes and rebuilds); if the kick loop exhausts, the final homeless
+        fingerprint goes into the stash and overflow is signalled.
+        """
         fp, b1 = self._fp_and_bucket(h)
         b2 = self._alt(b1, fp)
         for b in (b1, b2):
@@ -63,6 +73,8 @@ class CuckooFilter:
                 row[empty[0]] = fp
                 self.count += 1
                 return True
+        if self.victim is not None:
+            return False  # full: refuse before displacing anything
         # evict loop
         rng = np.random.RandomState((h ^ self.seed) & 0x7FFFFFFF)
         b = b1 if rng.rand() < 0.5 else b2
@@ -76,23 +88,38 @@ class CuckooFilter:
                 row[empty[0]] = fp
                 self.count += 1
                 return True
+        # the displaced fingerprint's home is `b` (we were about to place it
+        # there); stash it so it stays findable, and report overflow
+        self.victim = (int(fp), int(b))
+        self.count += 1
         return False
+
+    def _victim_matches(self, fp: int, b1: int, b2: int) -> bool:
+        return self.victim is not None and self.victim[0] == fp and self.victim[1] in (b1, b2)
 
     def delete(self, h: int) -> bool:
         fp, b1 = self._fp_and_bucket(h)
-        for b in (b1, self._alt(b1, fp)):
+        b2 = self._alt(b1, fp)
+        for b in (b1, b2):
             row = self.table[b]
             hit = np.nonzero(row == fp)[0]
             if len(hit):
                 row[hit[0]] = _EMPTY
                 self.count -= 1
                 return True
+        if self._victim_matches(fp, b1, b2):
+            self.victim = None
+            self.count -= 1
+            return True
         return False
 
     def contains(self, h: int) -> bool:
         fp, b1 = self._fp_and_bucket(h)
+        b2 = self._alt(b1, fp)
         return bool(
-            (self.table[b1] == fp).any() or (self.table[self._alt(b1, fp)] == fp).any()
+            (self.table[b1] == fp).any()
+            or (self.table[b2] == fp).any()
+            or self._victim_matches(fp, b1, b2)
         )
 
     # -- batch probe (vectorized) ---------------------------------------------
@@ -107,7 +134,11 @@ class CuckooFilter:
         b2 = ((b1.astype(np.uint64) ^ tag_hash) % np.uint64(self.n)).astype(np.int64)
         hit1 = (self.table[b1] == fp[:, None]).any(axis=1)
         hit2 = (self.table[b2] == fp[:, None]).any(axis=1)
-        return hit1 | hit2
+        out = hit1 | hit2
+        if self.victim is not None:
+            vfp, vb = self.victim
+            out |= (fp == vfp) & ((b1 == vb) | (b2 == vb))
+        return out
 
     @property
     def load_factor(self) -> float:

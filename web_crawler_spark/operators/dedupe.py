@@ -48,12 +48,23 @@ def collision_suffix(
     df: DataFrame, base_col: str, order_col: str, out_col: str = "final_name"
 ) -> DataFrame:
     """D3 (image_downloader.py:183-192): first occurrence keeps ``base``,
-    later ones get ``stem_N.ext`` with N = occurrence - 1."""
+    later ones get ``stem_N.ext`` with N = occurrence - 1.
+
+    Known divergence from the reference, by design: the reference re-probes
+    a global ``used_filenames`` set, so a generated ``a_1.jpg`` that clashes
+    with a RAW base named ``a_1.jpg`` advances to ``a_2.jpg``. That loop is
+    inherently sequential; the window form is deterministic and distributed
+    but can emit such a cross-base clash. Callers that need global
+    uniqueness should suffix with a content hash instead.
+
+    Dotfile parity: ``os.path.splitext('.hidden')`` treats the whole name as
+    the stem (ext ''), so the regexes require ≥1 char before the dot.
+    """
     w = Window.partitionBy(base_col).orderBy(order_col)
     rn = F.row_number().over(w)
     base = F.col(base_col)
-    stem = F.regexp_replace(base, r"\.[^.]*$", "")
-    ext = F.regexp_extract(base, r"(\.[^.]*)$", 1)
+    stem = F.regexp_replace(base, r"(?<=.)\.[^.]*$", "")
+    ext = F.regexp_extract(base, r"(?<=.)(\.[^.]*)$", 1)
     return df.withColumn(
         out_col,
         F.when(rn == 1, base).otherwise(

@@ -106,7 +106,10 @@ def classify_fetch(df: DataFrame) -> DataFrame:
                 (F.col("error_type") == "network_error")
                 | (
                     (F.col("error_type") == "http_error")
-                    & (F.col("error_code").cast("int") >= 500)
+                    # try_cast: ANSI mode would otherwise abort the batch on a
+                    # non-numeric code — the exact exception-as-data violation
+                    # this module exists to prevent
+                    & (F.col("error_code").try_cast("int") >= 500)
                 )
             ),
         )

@@ -139,6 +139,7 @@ class SeenTiers:
                 (
                     {key: blob.tobytes() for key, blob in self.bloom.blobs.items()},
                     self.hot.table.tobytes(),
+                    self.hot.victim,
                 )
             )
             self._bc_version = self._version
@@ -146,7 +147,7 @@ class SeenTiers:
 
         @F.pandas_udf(BooleanType())
         def _probe(h: pd.Series) -> pd.Series:
-            blobs, hot_raw = bc.value
+            blobs, hot_raw, victim = bc.value
             hv = h.to_numpy(np.int64)
             out = np.zeros(len(hv), dtype=bool)
             # bloom tier
@@ -168,6 +169,9 @@ class SeenTiers:
             b2 = ((b1.astype(np.uint64) ^ tag) % np.uint64(n_buckets)).astype(np.int64)
             out |= (table[b1] == fp[:, None]).any(axis=1)
             out |= (table[b2] == fp[:, None]).any(axis=1)
+            if victim is not None:
+                vfp, vb = victim
+                out |= (fp == vfp) & ((b1 == vb) | (b2 == vb))
             return pd.Series(out)
 
         return df.withColumn("might_contain", _probe(F.col(hash_col)))
@@ -179,6 +183,7 @@ class SeenTiers:
             "bloom": (self.bloom.p, self.bloom.m, self.bloom.k, self.bloom.to_rows()),
             "hot_buckets": self.hot_buckets,
             "hot_table": self.hot.table.tobytes(),
+            "hot_victim": self.hot.victim,
             "hot_count": self.hot.count,
             "pending": self._pending,
             "rounds_since_flush": self._rounds_since_flush,
@@ -198,6 +203,7 @@ class SeenTiers:
         tiers.hot.table = (
             np.frombuffer(state["hot_table"], np.uint16).reshape(tiers.hot.n, 4).copy()
         )
+        tiers.hot.victim = state.get("hot_victim")
         tiers.hot.count = state["hot_count"]
         tiers._pending = list(state["pending"])
         tiers._rounds_since_flush = state["rounds_since_flush"]

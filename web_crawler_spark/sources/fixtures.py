@@ -54,6 +54,7 @@ def generate_site(
     links_per_page: int = 8,
     neardup_rate: float = 0.02,
     n_seeds: int = 10,
+    corrupt_rate: float = 0.0,
 ) -> dict[str, str]:
     """Generate all fixture tables under out_dir; returns {name: path}."""
     os.makedirs(out_dir, exist_ok=True)
@@ -100,6 +101,17 @@ def generate_site(
         caption = f"Caption for {iid}: a synthetic gradient ({w}x{h} {fmt})."
         if j % 7 == 0:
             caption += " " + THAI_SAMPLE
+        if corrupt_rate and rng.rand() < corrupt_rate:
+            # three failure-path flavors (E1 taxonomy exercise): truncated
+            # payload (DECODE_FAILED), missing caption (CAPTION_MISMATCH),
+            # empty bytes (EMPTY_CONTENT)
+            flavor = int(rng.randint(0, 3))
+            if flavor == 0:
+                blob = blob[: max(12, len(blob) // 2)]
+            elif flavor == 1:
+                caption = None
+            else:
+                blob = None
         recs.append((iid, blob, w, h, fmt, caption, phash64(px)))
     pages_df = pd.DataFrame(
         recs, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]

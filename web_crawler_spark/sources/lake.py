@@ -71,9 +71,23 @@ class SnapshotTable:
 
     # -- commit ------------------------------------------------------------
 
+    def _max_snapshot_id(self) -> int:
+        best = 0
+        for name in os.listdir(self._snap_dir):
+            if name.startswith("s") and name.endswith(".json"):
+                try:
+                    best = max(best, int(name[1:-5]))
+                except ValueError:
+                    pass
+        return best
+
     def _commit(self, df: DataFrame, op: str) -> int:
         parent = self.current_snapshot_id()
-        new_id = (parent or 0) + 1
+        # ids are allocated past the highest EXISTING snapshot, not parent+1:
+        # after a rollback the next commit must not overwrite the abandoned
+        # snapshot's manifest (snapshot ids are immutable; old readers keep
+        # seeing the data their id referred to)
+        new_id = self._max_snapshot_id() + 1
         commit_dir = f"c{new_id:08d}_{uuid.uuid4().hex[:8]}"
         abs_dir = os.path.join(self._data_dir, commit_dir)
         df.write.mode("overwrite").parquet(abs_dir)
