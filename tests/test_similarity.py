@@ -42,6 +42,22 @@ def test_numpy_path_equals_builtin_path(spark):
     assert a == b
 
 
+def test_numpy_path_breaks_boundary_ties_by_neighbor_id(spark):
+    """ADVICE r1 #2: when >k candidates in one Arrow batch tie at the k-th
+    cosine, the partial top-k must keep the neighbor_id-asc winners — an
+    unordered argpartition cut can drop them and diverge from cosine_topk."""
+    base = [1.0] * 64
+    # 8 exact copies of the query vector (all cosine == 1.0) + the query
+    rows = [(0, base)] + [(i, list(base)) for i in range(1, 9)]
+    # one orthogonal-ish distractor
+    rows.append((9, [1.0 if j % 2 == 0 else -1.0 for j in range(64)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).coalesce(1)
+    a = sorted(map(tuple, S.cosine_topk(df, k=3, n_queries=1).collect()))
+    b = sorted(map(tuple, S.cosine_topk_numpy(df, k=3, n_queries=1).collect()))
+    assert a == b
+    assert [r[1] for r in sorted(b, key=lambda r: r[2])] == [1, 2, 3]
+
+
 def test_lsh_assign_deterministic_and_bounded(spark):
     df = _vecs(spark)
     a = {r["vec_id_b"]: r["bucket"] for r in S.lsh_assign(df, planes=8).collect()}

@@ -424,9 +424,15 @@ def cosine_topk_numpy(
             cnorm = np.sqrt((cmat * cmat).sum(axis=1))
             sims = (qmat @ cmat.T) / qnorm[:, None] / cnorm[None, :]
             nids = pdf["neighbor_id"].to_numpy()
-            # per-partition partial top-k keeps the merge tiny
+            # per-partition partial top-k keeps the merge tiny. The partial
+            # cut must apply the FULL ordering (-cosine, neighbor_id): a bare
+            # argpartition keeps an arbitrary subset of candidates tied at
+            # the boundary cosine, which can drop the neighbor_id-asc
+            # tie-winner and diverge from cosine_topk (ADVICE r1 #2).
             kk = min(k + 1, sims.shape[1])
-            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            idx = np.lexsort(
+                (np.broadcast_to(nids, sims.shape), -sims), axis=1
+            )[:, :kk]
             out = {
                 "query_id": np.repeat(qids, kk),
                 "neighbor_id": nids[idx].ravel(),

@@ -541,8 +541,12 @@ def q_dedup_exact(spark, sf_dir):
 SQL_DEDUP_EXACT = """
 WITH bags AS (
   SELECT doc_id,
-         md5(list_aggr(list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))),
-                       'string_agg', ' ')) AS bag_hash
+         -- COALESCE: list_aggr over an empty word list is NULL in DuckDB,
+         -- while Spark's concat_ws over an empty array is '' — a wordless
+         -- document must hash as md5('') in both engines (ADVICE r1 #3)
+         md5(COALESCE(
+           list_aggr(list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))),
+                     'string_agg', ' '), '')) AS bag_hash
   FROM documents)
 SELECT bag_hash, MIN(doc_id) AS rep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
 FROM bags GROUP BY 1 HAVING COUNT(*) > 1

@@ -26,6 +26,26 @@ Scale note: manifests store file *directory* lists, one entry per commit, so
 manifest size is O(commits), not O(files); Spark's parquet reader receives
 the directory list and parallelizes the scan. At 1000-executor scale the
 same layout holds — the commit path is driver-only metadata.
+
+Delta vs real Iceberg (documented per VERDICT r1 §Missing-2): this table has
+Iceberg's snapshot isolation, atomic commit, time travel, append/overwrite,
+commit metadata, and (with ``stats_cols``) per-commit min/max column stats
+with scan pruning. It does NOT have: a concurrent-writer protocol (single
+writer assumed — the crawl loop is one driver), per-*file* (vs per-commit)
+stats granularity, schema evolution, or a catalog. On a cluster with the
+Iceberg runtime jars the same call sites swap to a catalog table unchanged
+(the API is snapshot-id-compatible by design).
+
+- **Commit metadata** (``meta=``): small JSON recorded *inside* the manifest,
+  atomic with the data — the idempotence marker for streaming ingest
+  (exactly-once batch application needs the marker and the rows in one
+  commit; a separate marker file leaves a crash window that replays the
+  batch — ADVICE r1 #1).
+- **Column stats + pruning** (``stats_cols=``): each commit records min/max
+  (and row count) for the named columns; ``read(..., prune={col: (lo, hi)})``
+  skips whole commit dirs whose range cannot intersect — the Iceberg
+  min/max partition-pruning pattern. Exactness: pruning only ever *skips*
+  dirs proven disjoint; dirs without stats are always read.
 """
 
 from __future__ import annotations
@@ -40,8 +60,9 @@ from pyspark.sql.types import StructType
 
 
 class SnapshotTable:
-    def __init__(self, path: str):
+    def __init__(self, path: str, stats_cols: list[str] | None = None):
         self.path = path
+        self.stats_cols = list(stats_cols) if stats_cols else []
         self._snap_dir = os.path.join(path, "snapshots")
         self._data_dir = os.path.join(path, "data")
         os.makedirs(self._snap_dir, exist_ok=True)
@@ -81,7 +102,24 @@ class SnapshotTable:
                     pass
         return best
 
-    def _commit(self, df: DataFrame, op: str) -> int:
+    def _commit_stats(self, spark, abs_dir: str) -> dict:
+        """Min/max + row count for ``stats_cols`` of one freshly written
+        commit dir (read back from the written files, so the stats describe
+        exactly what a scan would see). One tiny extra job per commit."""
+        from pyspark.sql import functions as F
+
+        written = spark.read.parquet(abs_dir)
+        cols = [c for c in self.stats_cols if c in written.columns]
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in cols:
+            aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+        row = written.agg(*aggs).collect()[0]
+        return {
+            "n_rows": row["__n"],
+            "cols": {c: [row[f"__min_{c}"], row[f"__max_{c}"]] for c in cols},
+        }
+
+    def _commit(self, df: DataFrame, op: str, meta: dict | None = None) -> int:
         parent = self.current_snapshot_id()
         # ids are allocated past the highest EXISTING snapshot, not parent+1:
         # after a rollback the next commit must not overwrite the abandoned
@@ -91,15 +129,22 @@ class SnapshotTable:
         commit_dir = f"c{new_id:08d}_{uuid.uuid4().hex[:8]}"
         abs_dir = os.path.join(self._data_dir, commit_dir)
         df.write.mode("overwrite").parquet(abs_dir)
-        files = [] if (op == "overwrite" or parent is None) else list(
-            self._manifest(parent)["files"]
-        )
+        if op == "overwrite" or parent is None:
+            files, stats = [], {}
+        else:
+            pm = self._manifest(parent)
+            files = list(pm["files"])
+            stats = dict(pm.get("stats", {}))
         files.append(commit_dir)
+        if self.stats_cols:
+            stats[commit_dir] = self._commit_stats(df.sparkSession, abs_dir)
         manifest = {
             "id": new_id,
             "parent": parent,
             "op": op,
             "files": files,
+            "stats": stats,
+            "meta": meta,
             "committed_at": time.time(),
         }
         tmp = os.path.join(self._snap_dir, f".tmp-{uuid.uuid4().hex}")
@@ -112,11 +157,25 @@ class SnapshotTable:
         os.replace(tmp2, os.path.join(self.path, "_current"))
         return new_id
 
-    def append(self, df: DataFrame) -> int:
-        return self._commit(df, "append")
+    def append(self, df: DataFrame, meta: dict | None = None) -> int:
+        return self._commit(df, "append", meta=meta)
 
-    def overwrite(self, df: DataFrame) -> int:
-        return self._commit(df, "overwrite")
+    def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
+        return self._commit(df, "overwrite", meta=meta)
+
+    def applied_meta(self, key: str) -> set:
+        """All ``meta[key]`` values along the CURRENT snapshot's parent chain
+        (commits abandoned by a rollback don't count — their data is not in
+        the table, so their batches must be re-applied). O(commits)."""
+        out: set = set()
+        sid = self.current_snapshot_id()
+        while sid is not None:
+            m = self._manifest(sid)
+            meta = m.get("meta") or {}
+            if key in meta:
+                out.add(meta[key])
+            sid = m.get("parent")
+        return out
 
     def rollback(self, snapshot_id: int) -> None:
         """Point _current back at an earlier snapshot (crash-resume path)."""
@@ -128,19 +187,62 @@ class SnapshotTable:
 
     # -- read --------------------------------------------------------------
 
+    def data_dirs(
+        self,
+        snapshot_id: int | None = None,
+        prune: dict[str, tuple] | None = None,
+    ) -> list[str]:
+        """Commit dirs of a snapshot, minus those whose recorded min/max
+        stats prove they cannot contain a row with ``col`` in [lo, hi]
+        (inclusive). Dirs without stats are kept (pruning never guesses)."""
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if sid is None:
+            return []
+        m = self._manifest(sid)
+        dirs = list(m["files"])
+        if not prune:
+            return dirs
+        stats = m.get("stats", {})
+        kept = []
+        for d in dirs:
+            s = stats.get(d)
+            if s is None:
+                kept.append(d)
+                continue
+            if s.get("n_rows") == 0:
+                continue  # empty commit: nothing to scan
+            drop = False
+            for col, (lo, hi) in prune.items():
+                rng = s.get("cols", {}).get(col)
+                if rng is None or rng[0] is None or rng[1] is None:
+                    continue  # no usable stats for this column → can't prune
+                if (hi is not None and rng[0] > hi) or (
+                    lo is not None and rng[1] < lo
+                ):
+                    drop = True
+                    break
+            if not drop:
+                kept.append(d)
+        return kept
+
     def read(
         self,
         spark: SparkSession,
         snapshot_id: int | None = None,
         schema: StructType | None = None,
+        prune: dict[str, tuple] | None = None,
     ) -> DataFrame:
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
         if sid is None:
             if schema is None:
                 raise ValueError(f"empty table {self.path} needs an explicit schema")
             return spark.createDataFrame([], schema)
-        files = self._manifest(sid)["files"]
+        files = self.data_dirs(sid, prune)
         if not files:
+            if schema is None:
+                raise ValueError(
+                    f"fully pruned read of {self.path} needs an explicit schema"
+                )
             return spark.createDataFrame([], schema)
         paths = [os.path.join(self._data_dir, d) for d in files]
         return spark.read.parquet(*paths)

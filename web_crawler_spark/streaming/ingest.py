@@ -20,9 +20,6 @@ trigger.
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -41,28 +38,33 @@ def _admit_batch(
     *,
     exclude_anchors: bool = True,
     max_urls_per_batch: int = MAX_URLS_PER_CSV,
+    meta: dict | None = None,
 ) -> None:
     """foreachBatch body: normalize seed rows → valid frontier rows appended
     with strict per-batch FIFO priority.
 
     Batch path parity caveats, by design:
     - the admission gate TRUNCATES an oversized batch to ``max_urls_per_batch``
-      (the batch path raises; a stream cannot usefully raise per file);
+      *admissible* seeds (the batch path raises; a stream cannot usefully
+      raise per file). Invalid rows do not consume cap slots: validity is
+      applied BEFORE row_index, so a batch of 999 junk rows + N good seeds
+      admits all N (ADVICE r1 #4);
     - invalid rows are dropped (routing them to the fetch log is the crawl
       round's job; the stream only feeds the frontier).
 
     Priority: seeds stay in the depth-0 band strictly above discovered
-    links — batch b, row i gets ``seed_priority(b·MAX + i)``, clamped so
-    even pathological batch counts never cross into the depth-1 band
-    (``faults.DEPTH_PRIORITY_STEP``).
+    links — batch b, admissible row i gets ``seed_priority(b·MAX + i)``,
+    clamped so even pathological batch counts never cross into the depth-1
+    band (``faults.DEPTH_PRIORITY_STEP``).
     """
-    w = Window.orderBy(F.monotonically_increasing_id())
-    seeds = batch.withColumn("row_index", F.row_number().over(w) - 1).filter(
-        F.col("row_index") < max_urls_per_batch
-    )
     url = U.remove_anchors(F.col("url")) if exclude_anchors else F.col("url")
-    seeds = seeds.withColumn("url", url)
-    valid = seeds.filter(U.is_valid_url(F.col("url")))
+    seeds = batch.withColumn("url", url)
+    w = Window.orderBy(F.monotonically_increasing_id())
+    valid = (
+        seeds.filter(U.is_valid_url(F.col("url")))
+        .withColumn("row_index", F.row_number().over(w) - 1)
+        .filter(F.col("row_index") < max_urls_per_batch)
+    )
     offset = F.col("row_index") + F.lit(batch_id * max_urls_per_batch)
     rows = (
         valid.withColumn(
@@ -80,24 +82,23 @@ def _admit_batch(
         .withColumn("parent_url", F.lit(None).cast("string"))
         .select(*_FRONTIER_COLS)
     )
-    frontier_table.append(rows)
+    frontier_table.append(rows, meta=meta)
 
 
-def _idempotent_admit(batch, batch_id, frontier_table, marker_dir, **kw) -> None:
+def _idempotent_admit(batch, batch_id, frontier_table, **kw) -> None:
     """Skip micro-batches already applied: foreachBatch replays the last
     batch after a crash between the table append and the offset commit,
-    which would double-insert seed rows without this guard."""
-    os.makedirs(marker_dir, exist_ok=True)
-    marker = os.path.join(marker_dir, "last_applied_batch.json")
-    if os.path.exists(marker):
-        with open(marker) as f:
-            if batch_id <= json.load(f)["batch_id"]:
-                return
-    _admit_batch(batch, batch_id, frontier_table, **kw)
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"batch_id": batch_id}, f)
-    os.replace(tmp, marker)
+    which would double-insert seed rows without this guard.
+
+    The applied batch_id is recorded as commit *metadata inside the same
+    SnapshotTable commit as the rows* (atomic by the manifest os.replace),
+    so there is no crash window between data and marker — exactly-once
+    frontier appends hold across any crash point (ADVICE r1 #1)."""
+    if batch_id in frontier_table.applied_meta("ingest_batch_id"):
+        return
+    _admit_batch(
+        batch, batch_id, frontier_table, meta={"ingest_batch_id": batch_id}, **kw
+    )
 
 
 def ingest_seed_stream(
@@ -127,11 +128,10 @@ def ingest_seed_stream(
         .option("maxFilesPerTrigger", 8)
         .csv(seeds_dir)
     )
-    marker_dir = os.path.join(checkpoint_dir, "applied")
     writer = (
         src.writeStream.foreachBatch(
             lambda df, bid: _idempotent_admit(
-                df, bid, frontier_table, marker_dir, exclude_anchors=exclude_anchors
+                df, bid, frontier_table, exclude_anchors=exclude_anchors
             )
         )
         .option("checkpointLocation", checkpoint_dir)
