@@ -137,14 +137,88 @@ def select_per_host(
     ).drop("host_budget")
 
 
-def assign_fetch_seq(batch: DataFrame) -> DataFrame:
+def assign_fetch_seq(
+    batch: DataFrame,
+    num_partitions: int | None = None,
+    sample_mod: int = 64,
+) -> DataFrame:
     """Deterministic total order within the round: fetch_seq by
-    (priority DESC, url_hash ASC).
+    (priority DESC, url_hash ASC) — the global rank, computed two-phase so
+    no single task ever sorts the whole batch (VERDICT r1 #2):
 
-    This is a single-partition window — acceptable because the *selected
-    batch* is bounded by Σ host budgets (politeness caps it), not by frontier
-    size; the frontier-sized stages above stay fully parallel. The total
-    order is what makes N- and 4N-core runs byte-identical (north rule).
+    1. bucket boundaries come from a **value-deterministic sample**
+       (rows with pmod(url_hash, sample_mod) == 0 — a pure function of row
+       VALUES, so every evaluation of the plan, every cluster size, and
+       every retry picks the same boundaries; Spark's repartitionByRange is
+       NOT usable here because its reservoir sampling depends on shuffle
+       row order and the bucket column is consumed by two plan branches);
+    2. each row's bucket = number of boundaries strictly before its key in
+       the sort order — a chained-comparison projection, whole-stage
+       codegen, no shuffle;
+    3. per-bucket ``row_number`` (window partitioned by bucket — parallel
+       hash shuffle), plus cumulative bucket offsets (one tiny aggregate of
+       ≤ num_partitions rows, broadcast back):
+       fetch_seq = bucket_offset + local rank.
+
+    Output equality: fetch_seq is the global rank of the (priority DESC,
+    url_hash ASC) total order — url_hash is unique within the batch (it is
+    post-dedupe), so the order is total and the result is byte-identical to
+    the single-window form regardless of boundary placement. Driver cost is
+    the boundary sample only: O(|batch| / sample_mod) rows, vs O(|batch|)
+    rows through ONE task for the naive global window.
+    """
+    spark = batch.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    order = [F.col("priority").desc(), F.col("url_hash").asc()]
+    bucket = F.lit(0)
+    if num_partitions > 1:
+        sample = (
+            batch.select("priority", "url_hash")
+            .filter(F.pmod(F.col("url_hash"), F.lit(sample_mod)) == 0)
+            .collect()
+        )
+        sample.sort(key=lambda r: (-r["priority"], r["url_hash"]))
+        n_b = min(num_partitions - 1, len(sample))
+        picked, seen_keys = [], set()
+        for i in range(n_b):
+            r = sample[min(len(sample) - 1, (len(sample) * (i + 1)) // (n_b + 1))]
+            key = (r["priority"], r["url_hash"])
+            if key not in seen_keys:
+                seen_keys.add(key)
+                picked.append(key)
+        for p_b, h_b in picked:
+            after = (F.col("priority") < F.lit(p_b)) | (
+                (F.col("priority") == F.lit(p_b)) & (F.col("url_hash") > F.lit(h_b))
+            )
+            bucket = bucket + F.when(after, 1).otherwise(0)
+
+    bucketed = batch.withColumn("__bucket", bucket)
+    w_local = Window.partitionBy("__bucket").orderBy(*order)
+    local = bucketed.withColumn("__local_seq", F.row_number().over(w_local))
+    # offsets: rows in all lower buckets (bucket order == key order by
+    # construction). ≤ num_partitions rows; safe to window globally.
+    w_off = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        bucketed.groupBy("__bucket")
+        .agg(F.count("*").alias("__cnt"))
+        .withColumn("__offset", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)))
+        .select("__bucket", "__offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__bucket")
+        .withColumn(
+            "fetch_seq", (F.col("__offset") + F.col("__local_seq")).cast("long")
+        )
+        .drop("__bucket", "__local_seq", "__offset")
+    )
+
+
+def assign_fetch_seq_global(batch: DataFrame) -> DataFrame:
+    """The naive single-window form of ``assign_fetch_seq`` — one task sorts
+    the whole batch. Kept as the equality oracle for the two-phase plan
+    (tests assert byte-identical output) and for tiny interactive batches.
     """
     w = Window.orderBy(F.col("priority").desc(), F.col("url_hash").asc())
     return batch.withColumn("fetch_seq", F.row_number().over(w).cast("long"))
