@@ -31,5 +31,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (omitted entries get the
-    driver's weaker rows-only check)."""
+    driver's weaker rows-only check).
+
+    The crawl-engine entries compare against the independent pure-Python
+    oracle crawler: its expected outputs are materialized here (no Spark
+    needed) so their read_parquet oracles run regardless of whether the
+    driver executes SQL before or after the Spark side."""
+    from web_crawler_spark.plans.analytics import ensure_expected_outputs
+
+    ensure_expected_outputs()
     return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

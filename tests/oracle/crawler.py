@@ -76,6 +76,10 @@ class OracleCrawler:
     fetch_log: list[dict] = field(default_factory=list)
     success_phashes: set[int] = field(default_factory=set)
     round: int = 0
+    # per-round, per-hash-partition counters — twin of the engine's lineage
+    # table (plans/round.py: pkey = pmod(url_hash, lineage_partitions))
+    lineage: list[dict] = field(default_factory=list)
+    lineage_partitions: int = 16
 
     # ------------------------------------------------------------------
 
@@ -243,6 +247,7 @@ class OracleCrawler:
     def run_round(self) -> dict:
         rnd = self.round + 1
         rows_in = len(self.frontier)
+        frontier_at_start = list(self.frontier)
 
         # depth-aware priority recompute (engine does the same at round start)
         for r in self.frontier:
@@ -314,6 +319,7 @@ class OracleCrawler:
         # fetch + validate + settle
         retries: list[FrontierRow] = []
         fetched_ok: list[tuple[FrontierRow, dict]] = []
+        failed_rows: list[FrontierRow] = []
         n_failed = 0
         for seq, r in enumerate(selected, start=1):
             rec = self._fetch_one(r, seq, rnd)
@@ -324,6 +330,7 @@ class OracleCrawler:
                 fetched_ok.append((r, rec))
             else:
                 n_failed += 1
+                failed_rows.append(r)
             self.fetch_log.append(rec)
             if rec["retry_possible"] and (r.attempts + 1) < self.max_attempts:
                 retries.append(
@@ -366,6 +373,27 @@ class OracleCrawler:
                             parent_url=r.url,
                         )
                     )
+
+        # lineage strata (engine twin: plans/round.py full-joins the four
+        # per-pkey counts; a pkey appears if it appears in ≥1 stratum)
+        P = self.lineage_partitions
+        strata: dict[int, dict[str, int]] = {}
+
+        def bump(rows, col):
+            for r_ in rows:
+                pk = r_.url_hash % P  # Python % is floor-mod == Spark pmod
+                d = strata.setdefault(
+                    pk,
+                    {"rows_in": 0, "rows_selected": 0, "rows_fetched_ok": 0, "rows_failed": 0},
+                )
+                d[col] += 1
+
+        bump(frontier_at_start, "rows_in")
+        bump(selected, "rows_selected")
+        bump([r_ for r_, _rec in fetched_ok], "rows_fetched_ok")
+        bump(failed_rows, "rows_failed")
+        for pk in sorted(strata):
+            self.lineage.append({"round": rnd, "pkey": pk, **strata[pk]})
 
         leftover = [r for r in allowed if r.url_hash not in selected_hashes]
         self.frontier = leftover + retries + discovered
