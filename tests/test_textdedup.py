@@ -111,3 +111,50 @@ def test_max_df_prunes_stop_shingles(spark):
     ).collect()
     assert len(without) == 3  # every pair shares the stop shingle
     assert len(with_cut) == 0
+
+
+def test_connected_components_min_label(spark):
+    """Transitive chains collapse to the component-minimum representative;
+    disjoint components stay apart; result covers exactly the paired docs."""
+    from web_crawler_spark.operators.textdedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (10, 11), (20, 21), (21, 20)],
+        ["doc_a", "doc_b"],
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_consistent_with_pairs(spark):
+    """Every pair's two docs share a cluster id; the representative is the
+    cluster minimum and is itself a member; singletons never appear."""
+    from web_crawler_spark.operators.textdedup import dedup_clusters, minhash_dedupe
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    docs = [
+        (0, base),
+        (1, base + "tail-a"),
+        (2, base + "tail-b"),
+        (10, "completely different content about spark engines " * 6),
+        (11, "completely different content about spark engines " * 6 + "x"),
+        (50, "a singleton document with nothing similar to it at all"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_dedupe(df, "doc_id", "text").collect()
+    }
+    assert pairs  # fixture actually produces near-dups
+    clusters = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(df, "doc_id", "text").collect()
+    }
+    for a, b in pairs:
+        assert clusters[a] == clusters[b]
+    for doc, rep in clusters.items():
+        assert rep in clusters and clusters[rep] == rep
+        assert rep <= doc
+    assert 50 not in clusters  # singletons never enter the frame

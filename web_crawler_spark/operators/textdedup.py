@@ -232,6 +232,94 @@ def minhash_dedupe(
     return _finish_pairs(joined, threshold)
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 32,
+) -> DataFrame:
+    """Connected components over undirected pair edges → (doc_id, cluster_id),
+    cluster_id = the minimum doc id reachable from doc_id (a canonical,
+    deterministic representative). Iterative hash-min label propagation in
+    pure DataFrame joins: each round every node takes min(own label,
+    neighbors' labels); converges in ≤ graph-diameter rounds (near-dup
+    graphs are shallow — dup clusters are cliques or short chains), with a
+    fixpoint check per round (one tiny count action).
+
+    Scale notes: each round is one equi-join edges⋈labels + one groupBy —
+    O(E) shuffled per round, AQE-skew-safe; intermediate labels are
+    persisted so round k+1 reads the materialized round k instead of
+    replaying the join lineage (at cluster scale swap persist for
+    localCheckpoint to also truncate the plan). Nodes in no pair (the vast
+    majority of a corpus) never enter the frame — join the result back
+    LEFT to keep singletons."""
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.select(F.col("doc").alias("dst"), F.col("label").alias("nl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nmin"))
+            .withColumnRenamed("src", "doc")
+        )
+        new_labels = (
+            labels.withColumnRenamed("label", "old_label")
+            .join(nbr, "doc", "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("old_label"), F.coalesce(F.col("nmin"), F.col("old_label"))
+                ).alias("label"),
+                "old_label",
+            )
+            .persist()
+        )
+        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+        labels.unpersist()
+        labels = new_labels.select("doc", "label")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    perms: int = DEFAULT_PERMS,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup cluster assignment: MinHash-LSH pairs (exact-Jaccard
+    confirmed) → transitive closure → one (doc_id, cluster_id) row per doc
+    that has at least one near-duplicate; cluster_id = min doc id in the
+    component. This is the operator that actually PRUNES a corpus: keep
+    rows where doc_id == cluster_id (the representative) plus all
+    unclustered docs."""
+    pairs = minhash_dedupe(
+        df, id_col, text_col, k=k, perms=perms, bands=bands, threshold=threshold
+    )
+    return connected_components(pairs.select("doc_a", "doc_b"))
+
+
 def winnow_table(
     df: DataFrame, id_col: str, text_col: str, *, k: int = 8, w: int = 4
 ) -> DataFrame:

@@ -625,6 +625,51 @@ WHERE 5 * i.ni >= 4 * (sa.n + sb.n - i.ni)
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster assignment (VERDICT r1 #4): minhash-LSH pairs →
+    connected components by iterative hash-min label propagation →
+    (doc_id, cluster_id = min reachable doc id). The oracle replays the
+    identical pair pipeline and computes min-reachable via a recursive CTE
+    (both equal the component minimum, independent of iteration order)."""
+    d = t(spark, sf_dir, "documents")
+    return TD.dedup_clusters(d, "doc_id", "text", k=5, perms=32, bands=4, threshold=0.8)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+pm AS (
+  SELECT doc_id, pp.p AS p, MIN(xor({_GRAM_HASH}, {_PERM_CONST})) AS m
+  FROM ex, range(32) pp(p) GROUP BY doc_id, pp.p),
+bands AS (
+  SELECT doc_id, p // 8 AS b, {_BAND_HASH} AS bh
+  FROM pm GROUP BY doc_id, p // 8),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT e1.doc_id AS da, e2.doc_id AS db, COUNT(*) AS ni
+  FROM ex e1 JOIN ex e2 ON e1.g = e2.g AND e1.doc_id < e2.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT c.da AS doc_a, c.db AS doc_b
+  FROM cand c
+  JOIN inter i ON i.da = c.da AND i.db = c.db
+  JOIN sizes sa ON sa.doc_id = c.da
+  JOIN sizes sb ON sb.doc_id = c.db
+  WHERE 5 * i.ni >= 4 * (sa.n + sb.n - i.ni)),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs),
+reach(doc, l) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.l FROM edges e JOIN reach r ON r.doc = e.dst)
+SELECT doc AS doc_id, CAST(MIN(l) AS BIGINT) AS cluster_id
+FROM reach GROUP BY doc
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash(60-bit, 5-gram shingles) near-dup pairs at hamming ≤ 3, with
     exact-recall band candidates. Oracle computes the same simhash in SQL
@@ -1327,6 +1372,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     # training-data pipeline: text analysis
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
