@@ -888,45 +888,91 @@ WHERE rnk <= 3
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF-flat approximate top-3 (8 cells, nprobe 2) — the partitioned ANN
-    scale path; the oracle replays the identical assignment + probe."""
+    """IVF-flat approximate top-3 (8 cells, 2 deterministic k-means rounds,
+    nprobe 2) — the partitioned ANN scale path; the oracle replays the
+    identical Lloyd iterations + assignment + probe."""
     e = t(spark, sf_dir, "embeddings")
-    return SIM.ann_ivf_topk(e, k=3, n_cells=8, nprobe=2, n_queries=32)
+    return SIM.ann_ivf_topk(e, k=3, n_cells=8, nprobe=2, n_queries=32, kmeans_iters=2)
 
 
-SQL_ANN_IVF_TOPK = f"""
-WITH {_QUANT_CTE},
-vn AS (SELECT vec_id, qv, sqrt({_dot_sql('qv', 'qv')}) AS nrm FROM v),
-cents AS (SELECT vec_id AS cell, qv AS cv, nrm AS cn FROM vn WHERE vec_id < 8),
-assign AS (
+def _ivf_kmeans_sql(
+    n_cells: int = 8, iters: int = 2, dims: int = 64, nprobe: int = 2,
+    k: int = 3, n_queries: int = 32,
+) -> str:
+    """Generate the IVF oracle: seeded init + ``iters`` Lloyd rounds
+    (assign by argmax cosine, update = per-dim FLOOR(AVG), empty cells keep
+    their centroid), then the assignment/probe/top-k pipeline — the exact
+    SQL twin of kmeans_centroids + ann_ivf_topk."""
+    ctes = [
+        f"vn AS (SELECT vec_id, qv, sqrt({_dot_sql('qv', 'qv')}) AS nrm FROM v)",
+        f"c0 AS (SELECT vec_id AS cell, qv AS cv FROM v WHERE vec_id < {n_cells})",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        cn, a, u, g, c = f"cn{it}", f"a{it}", f"u{it}", f"g{it}", f"c{it}"
+        ctes.append(
+            f"{cn} AS (SELECT cell, cv, sqrt({_dot_sql('cv', 'cv')}) AS cn FROM {prev})"
+        )
+        ctes.append(
+            f"""{a} AS (
+  SELECT vec_id, qv, cell FROM (
+    SELECT vn.vec_id, vn.qv, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+             ORDER BY ({_dot_sql('vn.qv', 'c.cv')} / vn.nrm / c.cn) DESC, c.cell ASC) AS r
+    FROM vn, {cn} c)
+  WHERE r = 1)"""
+        )
+        ctes.append(
+            f"""{u} AS (
+  SELECT cell, d.d AS d, CAST(FLOOR(AVG(qv[d.d])) AS BIGINT) AS cd
+  FROM {a}, range(1, {dims + 1}) d(d) GROUP BY cell, d.d)"""
+        )
+        ctes.append(f"{g} AS (SELECT cell, list(cd ORDER BY d) AS cv FROM {u} GROUP BY cell)")
+        ctes.append(
+            f"{c} AS (SELECT p.cell, COALESCE(g.cv, p.cv) AS cv FROM {prev} p LEFT JOIN {g} g USING (cell))"
+        )
+        prev = c
+    ctes.append(
+        f"cents AS (SELECT cell, cv, sqrt({_dot_sql('cv', 'cv')}) AS cn FROM {prev})"
+    )
+    ctes.append(
+        f"""assign AS (
   SELECT vec_id, qv, nrm, cell FROM (
     SELECT vn.vec_id, vn.qv, vn.nrm, c.cell,
-           ROW_NUMBER() OVER (
-             PARTITION BY vn.vec_id
-             ORDER BY ({_dot_sql('vn.qv', 'c.cv')} / vn.nrm / c.cn) DESC, c.cell ASC
-           ) AS r
+           ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+             ORDER BY ({_dot_sql('vn.qv', 'c.cv')} / vn.nrm / c.cn) DESC, c.cell ASC) AS r
     FROM vn, cents c)
-  WHERE r = 1),
-probe AS (
+  WHERE r = 1)"""
+    )
+    ctes.append(
+        f"""probe AS (
   SELECT query_id, qv, nrm, cell FROM (
     SELECT vn.vec_id AS query_id, vn.qv, vn.nrm, c.cell,
-           ROW_NUMBER() OVER (
-             PARTITION BY vn.vec_id
-             ORDER BY ({_dot_sql('vn.qv', 'c.cv')} / vn.nrm / c.cn) DESC, c.cell ASC
-           ) AS r
-    FROM vn, cents c WHERE vn.vec_id < 32)
-  WHERE r <= 2),
-cand AS (
+           ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+             ORDER BY ({_dot_sql('vn.qv', 'c.cv')} / vn.nrm / c.cn) DESC, c.cell ASC) AS r
+    FROM vn, cents c WHERE vn.vec_id < {n_queries})
+  WHERE r <= {nprobe})"""
+    )
+    ctes.append(
+        f"""cand AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
          {_dot_sql('p.qv', 'a.qv')} / p.nrm / a.nrm AS cosine
   FROM probe p JOIN assign a USING (cell)
-  WHERE a.vec_id <> p.query_id)
+  WHERE a.vec_id <> p.query_id)"""
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {_QUANT_CTE.strip()},
+{body}
 SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, ROUND(cosine, 4) AS cosine
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id ASC) AS rnk
       FROM cand)
-WHERE rnk <= 3
+WHERE rnk <= {k}
 """
+
+
+SQL_ANN_IVF_TOPK = _ivf_kmeans_sql()
 
 
 def q_embedding_neardup(spark, sf_dir):
