@@ -41,6 +41,32 @@ def test_rewrite_image_paths_markdown_and_html(spark):
     assert out2 == '<p><img src="images/a.png" alt=""></p>'
 
 
+def test_rewrite_image_paths_is_collect_free_and_udf_free(spark):
+    """VERDICT r1 #7: the rewrite must not collect the mapping to the driver
+    nor run a Python UDF — the plan is pure JVM expressions over a
+    broadcast-joined mapping, and it handles a large manifest."""
+    n = 5000
+    mapping = spark.range(n).select(
+        F.concat(F.lit("https://x.com/img"), F.col("id").cast("string"), F.lit(".png")).alias("url"),
+        F.concat(F.lit("images/"), F.col("id").cast("string"), F.lit(".png")).alias("local_path"),
+    )
+    docs = spark.range(50).select(
+        F.col("id"),
+        F.concat(
+            F.lit("intro ![a](https://x.com/img"), F.col("id").cast("string"),
+            F.lit(".png) mid ![b](https://x.com/imgNOPE.png) end"),
+        ).alias("content"),
+    )
+    out = rewrite_image_paths(docs, mapping, style="markdown")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # no row-at-a-time nor Arrow Python UDF
+    rows = {r["id"]: r["content"] for r in out.collect()}
+    assert rows[7] == "intro ![a](images/7.png) mid ![b](https://x.com/imgNOPE.png) end"
+    # NULL content passes through untouched
+    nulls = spark.createDataFrame([(1, None)], "id long, content string")
+    assert rewrite_image_paths(nulls, mapping).collect()[0]["content"] is None
+
+
 def test_download_tally(spark):
     df = spark.createDataFrame(
         [("u1", "success"), ("u2", "failed"), ("u3", "success")], ["url", "status"]
