@@ -1073,6 +1073,101 @@ FROM part
 """
 
 
+def q_scoped_extract(spark, sf_dir):
+    """Scoped-element extraction (reference parser.py:19-112; VERDICT r1 #8):
+    id-first / class-membership resolution over a synthesized elements
+    table, full-page concat when unscoped, and the reference's sorted-20
+    class-sample diagnostic as error-as-data on a miss."""
+    from ..operators.scoped import scoped_extract
+
+    p = t(spark, sf_dir, "part")
+    page = F.col("p_partkey") % 40
+    elements = p.select(
+        F.concat(F.lit("https://shop.example/pg/"), page.cast("string")).alias("page_url"),
+        F.col("p_partkey").cast("long").alias("elem_seq"),
+        F.concat(F.lit("el"), F.col("p_partkey").cast("string")).alias("elem_id"),
+        F.split(F.lower(F.col("p_type")), " ").alias("classes"),
+        F.col("p_name").alias("text"),
+    )
+    pnum = F.element_at(F.split(F.col("page_url"), "/"), -1).cast("int")
+    scopes = (
+        elements.groupBy("page_url")
+        .agg(F.min("elem_seq").alias("first_seq"))
+        .select(
+            "page_url",
+            F.when(pnum % 4 == 0, F.lit("promo"))
+            .when(pnum % 4 == 1, F.lit("no-such-class"))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("scope_class"),
+            F.when(
+                pnum % 4 == 2, F.concat(F.lit("el"), F.col("first_seq").cast("string"))
+            )
+            .otherwise(F.lit(None).cast("string"))
+            .alias("scope_id"),
+        )
+    )
+    return scoped_extract(elements, scopes)
+
+
+SQL_SCOPED_EXTRACT = """
+WITH el AS (
+  SELECT 'https://shop.example/pg/' || CAST(p_partkey % 40 AS VARCHAR) AS page_url,
+         CAST(p_partkey AS BIGINT) AS elem_seq,
+         'el' || CAST(p_partkey AS VARCHAR) AS elem_id,
+         string_split(lower(p_type), ' ') AS classes,
+         p_name AS text,
+         p_partkey % 40 AS page_num
+  FROM part),
+pg AS (SELECT page_url, MIN(page_num) AS page_num, MIN(elem_seq) AS first_seq
+       FROM el GROUP BY page_url),
+scopes AS (
+  SELECT page_url,
+         CASE WHEN page_num % 4 = 0 THEN 'promo'
+              WHEN page_num % 4 = 1 THEN 'no-such-class' END AS scope_class,
+         CASE WHEN page_num % 4 = 2 THEN 'el' || CAST(first_seq AS VARCHAR) END AS scope_id
+  FROM pg),
+hits AS (
+  SELECT s.page_url, s.scope_class, s.scope_id, e.elem_seq, e.text,
+         CASE WHEN s.scope_id IS NOT NULL AND e.elem_id = s.scope_id
+              THEN 'id' ELSE 'class' END AS matched_by
+  FROM scopes s JOIN el e ON e.page_url = s.page_url
+  WHERE (s.scope_id IS NOT NULL AND e.elem_id = s.scope_id)
+     OR (s.scope_class IS NOT NULL AND list_contains(e.classes, s.scope_class))),
+ok AS (
+  SELECT page_url, scope_class, scope_id, 'ok' AS status, matched_by,
+         elem_seq, text, CAST(NULL AS VARCHAR) AS available_classes
+  FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY page_url, scope_class, scope_id
+          ORDER BY CASE WHEN matched_by = 'id' THEN 0 ELSE 1 END, elem_seq) AS rn
+        FROM hits)
+  WHERE rn = 1),
+fullpage AS (
+  SELECT s.page_url, s.scope_class, s.scope_id, 'ok' AS status,
+         'page' AS matched_by, CAST(NULL AS BIGINT) AS elem_seq,
+         string_agg(e.text, chr(10) ORDER BY e.elem_seq) AS text,
+         CAST(NULL AS VARCHAR) AS available_classes
+  FROM scopes s JOIN el e USING (page_url)
+  WHERE s.scope_class IS NULL AND s.scope_id IS NULL
+  GROUP BY s.page_url, s.scope_class, s.scope_id),
+diag AS (
+  SELECT page_url,
+         array_to_string(
+           list_slice(list_sort(list_distinct(flatten(list(classes)))), 1, 20),
+           ', ') AS ac
+  FROM el GROUP BY page_url),
+miss AS (
+  SELECT s.page_url, s.scope_class, s.scope_id, 'scope_miss' AS status,
+         CAST(NULL AS VARCHAR) AS matched_by, CAST(NULL AS BIGINT) AS elem_seq,
+         CAST(NULL AS VARCHAR) AS text, COALESCE(d.ac, '') AS available_classes
+  FROM scopes s LEFT JOIN diag d USING (page_url)
+  WHERE (s.scope_class IS NOT NULL OR s.scope_id IS NOT NULL)
+    AND NOT EXISTS (SELECT 1 FROM ok o WHERE o.page_url = s.page_url
+                    AND o.scope_class IS NOT DISTINCT FROM s.scope_class
+                    AND o.scope_id IS NOT DISTINCT FROM s.scope_id))
+SELECT * FROM ok UNION ALL SELECT * FROM fullpage UNION ALL SELECT * FROM miss
+"""
+
+
 def q_title_fallback(spark, sf_dir):
     """U14/U4 (crawler/parser.py:180-191, link_extractor.py:60-79):
     title → h1 → 'Untitled' coalescing over synthesized presence patterns."""
@@ -1436,6 +1531,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "combined_concat": (q_combined_concat, SQL_COMBINED_CONCAT),
     "output_naming": (q_output_naming, SQL_OUTPUT_NAMING),
     "title_fallback": (q_title_fallback, SQL_TITLE_FALLBACK),
+    "scoped_extract": (q_scoped_extract, SQL_SCOPED_EXTRACT),
     # crawl engine + membership tiers, checked against the independent
     # pure-Python oracle crawler / numpy bloom twin (read_parquet oracles)
     "crawl_fetch_log": (q_crawl_fetch_log, SQL_CRAWL_FETCH_LOG),
