@@ -290,9 +290,11 @@ class CrawlRun:
             F.col("src_url").alias("parent_url"),
         )
 
-    def run_round(self) -> dict:
+    def run_round(self, commit_meta: dict | None = None) -> dict:
         """Execute one round; returns the metrics dict (rows_selected == 0 and
-        rows_in == 0 means the crawl is complete)."""
+        rows_in == 0 means the crawl is complete). ``commit_meta`` is
+        recorded atomically with the round's metrics commit — the streaming
+        driver uses it as its exactly-once micro-batch marker."""
         cfg = self.config
         rnd = self.round + 1
         frontier = self.frontier_t.read(self.spark, schema=FRONTIER)
@@ -493,7 +495,7 @@ class CrawlRun:
             ],
             METRICS,
         )
-        self.metrics_t.append(metrics_row)
+        self.metrics_t.append(metrics_row, meta=commit_meta)
 
         # ---- per-partition lineage (north rule): counters stratified by the
         # url_hash range partition, so an operator can audit exactly which
