@@ -43,8 +43,10 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_simhash",
     "doc_fingerprints",
+    "scoped_extract",
     "text_lang_id",
     "text_quality",
     "token_counts",
@@ -144,7 +146,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "headline operator suite wall time (22 queries)",
+                "metric": f"headline operator suite wall time ({len(HEADLINE)} queries)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

@@ -97,7 +97,7 @@ The same round at 10^9 rows, local[32], 64 shuffle partitions (run under
 concurrent load, so conservative):
 
 ```
-{{"rows": 1000000000, "sec": 442.6, "urls_per_sec": 2267587, "selected": 7976}}
+{{"rows": 1000000000, "sec": 425.4, "urls_per_sec": 2358314, "selected": 7976}}
 ```
 
 `selected` is identical at 5M, 100M and 10^9 rows — the politeness budget
