@@ -79,16 +79,42 @@ def test_streamed_rounds_byte_identical_to_batch_loop(
     bm = batch_run.metrics_t.read(spark, schema=METRICS).orderBy("round").collect()
     assert [tuple(r) for r in sm] == [tuple(r) for r in bm]
 
-    # exactly-once: a second stream over the same ticks + checkpoint has no
-    # new files, and re-applying an already-recorded batch id is a no-op
-    applied = stream_run.metrics_t.applied_meta("stream_batch_id")
-    assert applied == set(range(N_ROUNDS))
+    # exactly-once: the batch-id marker rides in the round's final atomic
+    # checkpoint; a second stream over the same ticks has no new files and
+    # re-applying an already-recorded batch id is a no-op
+    assert stream_run.checkpoint_state().get("stream_batch_id") == N_ROUNDS - 1
     before = stream_run.round
     q2 = crawl_round_stream(
         spark, stream_run, str(ticks), str(tmp / "ckpt"), available_now=True
     )
     q2.awaitTermination(120)
     assert stream_run.round == before  # replay window: no extra round ran
+
+    # crash-mid-round replay: simulate a previous attempt that died after
+    # appending to fetch_log but before the checkpoint — the next tick must
+    # roll the partial commits back and run the round cleanly (no dupes)
+    bogus = stream_run.fetch_log_t.read(spark, schema=FETCH_LOG).limit(1)
+    stream_run.fetch_log_t.append(bogus)
+    assert stream_run.dirty_vs_checkpoint()
+    (ticks / f"t{N_ROUNDS}.csv").write_text(f"{N_ROUNDS}\n")
+    q3 = crawl_round_stream(
+        spark, stream_run, str(ticks), str(tmp / "ckpt"), available_now=True
+    )
+    q3.awaitTermination(120)
+    assert stream_run.round == before + 1
+    assert not stream_run.dirty_vs_checkpoint()
+    log_now = stream_run.fetch_log_t.read(spark, schema=FETCH_LOG)
+    # the bogus partial append was rolled back: the duplicated
+    # (round, fetch_seq) pair it introduced must be gone — every fetched
+    # (round, fetch_seq>0) pair is unique again
+    dupes = (
+        log_now.filter(F.col("fetch_seq") > 0)
+        .groupBy("round", "fetch_seq")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dupes == 0
 
 
 def test_gated_candidate_ingest_bounds_frontier_per_host(spark, tmp_path):

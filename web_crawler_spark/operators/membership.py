@@ -88,7 +88,9 @@ class DistributedSeenTiers:
 
     # ------------------------------------------------------------------ state
 
-    def hot_slice(self, spark, seen_table, current_round: int) -> DataFrame:
+    def hot_slice(
+        self, spark, seen_table, current_round: int, hash_col: str = "url_hash"
+    ) -> DataFrame:
         """The derived hot tier: seen rows settled after the flush watermark.
         The snapshot scan prunes commits entirely below it via min/max
         stats; the residual filter keeps the slice exact within kept dirs."""
@@ -100,7 +102,7 @@ class DistributedSeenTiers:
                 spark, schema=SEEN, prune={"settled_round": (lo, None)}
             )
             .filter(F.col("settled_round") >= lo)
-            .select("url_hash")
+            .select(F.col("url_hash").alias(hash_col))
         )
 
     def end_round(self, current_round: int, seen_table, spark) -> None:
@@ -121,9 +123,9 @@ class DistributedSeenTiers:
         """Attach ``might_contain`` = bloom-hit OR hot-hit. The bloom test is
         the existing Arrow pandas-UDF pass; the hot test is a broadcast
         left join against the derived hot slice — both executor-side."""
-        hot = self.hot_slice(spark, seen_table, current_round).withColumn(
-            "__hot", F.lit(True)
-        )
+        hot = self.hot_slice(
+            spark, seen_table, current_round, hash_col=hash_col
+        ).withColumn("__hot", F.lit(True))
         probed = self.bloom.probe(df, hash_col=hash_col)
         return (
             probed.join(F.broadcast(hot), hash_col, "left")

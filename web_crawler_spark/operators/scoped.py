@@ -93,10 +93,12 @@ def scoped_extract(
     )
 
     # no-scope requests → full page: newline-joined element texts in
-    # document order (ordering enforced INSIDE the aggregation — K5 rule)
+    # document order (ordering enforced INSIDE the aggregation — K5 rule).
+    # LEFT join: a request for a page with no elements still returns its
+    # one row (empty text), never silently vanishes — one row per request.
     no_scope = sc.filter(F.col("scope_class").isNull() & F.col("scope_id").isNull())
     page_text = (
-        no_scope.join(elements, "page_url")
+        no_scope.join(elements, "page_url", "left")
         .groupBy("page_url", "scope_class", "scope_id")
         .agg(
             F.concat_ws(

@@ -262,6 +262,18 @@ def neardup_pairs(
     )
 
 
+def _quantized_vecs(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id_b, qvec, qnorm): the quantized corpus projection shared by
+    k-means training, IVF assignment and probing — one definition so the
+    quantization/norm shape can never drift between phases."""
+    qv = quantize(F.col(vec_col))
+    return corpus.select(
+        F.col(id_col).alias("vec_id_b"),
+        qv.alias("qvec"),
+        F.sqrt(dot_q(qv, qv).cast("double")).alias("qnorm"),
+    )
+
+
 def _centroids_df(spark, cents: list[tuple[int, list[int]]]) -> DataFrame:
     """(cell, quantized-vector) literals → broadcast-ready centroid frame
     with the shared exact-integer norm shape."""
@@ -323,12 +335,7 @@ def kmeans_centroids(
     only n_cells×dims integers ever reach the driver per iteration.
     """
     spark = corpus.sparkSession
-    qv = quantize(F.col(vec_col))
-    vecs = corpus.select(
-        F.col(id_col).alias("vec_id_b"),
-        qv.alias("qvec"),
-        F.sqrt(dot_q(qv, qv).cast("double")).alias("qnorm"),
-    )
+    vecs = _quantized_vecs(corpus, id_col, vec_col)
     if iters > 0:
         vecs = vecs.persist()
     cents = sorted(
@@ -371,12 +378,7 @@ def ivf_assign(
     cents = kmeans_centroids(
         corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells, iters=kmeans_iters
     )
-    qv = quantize(F.col(vec_col))
-    vecs = corpus.select(
-        F.col(id_col).alias("vec_id_b"),
-        qv.alias("qvec"),
-        F.sqrt(dot_q(qv, qv).cast("double")).alias("qnorm"),
-    )
+    vecs = _quantized_vecs(corpus, id_col, vec_col)
     return _assign_to_cells(vecs, _centroids_df(corpus.sparkSession, cents))
 
 
@@ -404,17 +406,12 @@ def ann_ivf_topk(
         corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells, iters=kmeans_iters
     )
     cents = _centroids_df(corpus.sparkSession, trained)
-    qv = quantize(F.col(vec_col))
-    vecs = corpus.select(
-        F.col(id_col).alias("vec_id_b"),
-        qv.alias("qvec"),
-        F.sqrt(dot_q(qv, qv).cast("double")).alias("qnorm"),
-    )
+    vecs = _quantized_vecs(corpus, id_col, vec_col)
     assigned = _assign_to_cells(vecs, cents)
-    queries = corpus.select(
-        F.col(id_col).alias("query_id"),
-        qv.alias("qv"),
-        F.sqrt(dot_q(qv, qv).cast("double")).alias("qn"),
+    queries = _quantized_vecs(corpus, id_col, vec_col).select(
+        F.col("vec_id_b").alias("query_id"),
+        F.col("qvec").alias("qv"),
+        F.col("qnorm").alias("qn"),
     )
     if n_queries is not None:
         queries = queries.filter(F.col("query_id") < n_queries)

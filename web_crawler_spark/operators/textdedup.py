@@ -241,30 +241,35 @@ def connected_components(
     """Connected components over undirected pair edges → (doc_id, cluster_id),
     cluster_id = the minimum doc id reachable from doc_id (a canonical,
     deterministic representative). Iterative hash-min label propagation in
-    pure DataFrame joins: each round every node takes min(own label,
-    neighbors' labels); converges in ≤ graph-diameter rounds (near-dup
-    graphs are shallow — dup clusters are cliques or short chains), with a
-    fixpoint check per round (one tiny count action).
+    pure DataFrame joins, with **pointer jumping** (label ← label(label))
+    each round so chains compress geometrically: convergence is
+    O(log diameter), and max_iters=32 covers any realistically possible
+    component. If the loop still has not converged it raises loudly rather
+    than return silently wrong clusters.
 
-    Scale notes: each round is one equi-join edges⋈labels + one groupBy —
-    O(E) shuffled per round, AQE-skew-safe; intermediate labels are
-    persisted so round k+1 reads the materialized round k instead of
-    replaying the join lineage (at cluster scale swap persist for
-    localCheckpoint to also truncate the plan). Nodes in no pair (the vast
-    majority of a corpus) never enter the frame — join the result back
-    LEFT to keep singletons."""
+    Scale notes: each round is two equi-joins + one groupBy — O(E) shuffled
+    per round, AQE-skew-safe; each round's labels are persisted (and the
+    previous round's cache released) so round k+1 reads materialized data
+    instead of replaying the join lineage; the final labels frame stays
+    cached — it is O(paired docs), tiny relative to the corpus (at cluster
+    scale swap persist for localCheckpoint to also truncate the plan).
+    Nodes in no pair (the vast majority of a corpus) never enter the
+    frame — join the result back LEFT to keep singletons."""
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (
         fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .persist()
     )
+    # labels carries (doc, label, old_label); old_label is the previous
+    # round's value, used only for the fixpoint check
     labels = (
         edges.select(F.col("src").alias("doc"))
         .distinct()
-        .withColumn("label", F.col("doc"))
+        .select("doc", F.col("doc").alias("label"), F.col("doc").alias("old_label"))
         .persist()
     )
+    converged = False
     for _ in range(max_iters):
         nbr = (
             edges.join(
@@ -275,8 +280,8 @@ def connected_components(
             .agg(F.min("nl").alias("nmin"))
             .withColumnRenamed("src", "doc")
         )
-        new_labels = (
-            labels.withColumnRenamed("label", "old_label")
+        step = (
+            labels.select("doc", F.col("label").alias("old_label"))
             .join(nbr, "doc", "left")
             .select(
                 "doc",
@@ -285,14 +290,33 @@ def connected_components(
                 ).alias("label"),
                 "old_label",
             )
+        )
+        # pointer jumping: follow one's label's label (labels are always doc
+        # ids present in the frame, so the lookup is a self-join)
+        parent = step.select(F.col("doc").alias("label"), F.col("label").alias("jl"))
+        new_labels = (
+            step.join(parent, "label", "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("jl"), F.col("label"))
+                ).alias("label"),
+                "old_label",
+            )
             .persist()
         )
         changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
         labels.unpersist()
-        labels = new_labels.select("doc", "label")
+        labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} iterations"
+        )
     return labels.select(
         F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -1144,9 +1144,9 @@ ok AS (
 fullpage AS (
   SELECT s.page_url, s.scope_class, s.scope_id, 'ok' AS status,
          'page' AS matched_by, CAST(NULL AS BIGINT) AS elem_seq,
-         string_agg(e.text, chr(10) ORDER BY e.elem_seq) AS text,
+         COALESCE(string_agg(e.text, chr(10) ORDER BY e.elem_seq), '') AS text,
          CAST(NULL AS VARCHAR) AS available_classes
-  FROM scopes s JOIN el e USING (page_url)
+  FROM scopes s LEFT JOIN el e USING (page_url)
   WHERE s.scope_class IS NULL AND s.scope_id IS NULL
   GROUP BY s.page_url, s.scope_class, s.scope_id),
 diag AS (
@@ -1333,6 +1333,9 @@ def _ensure_bloom_expected(sf_dir: str) -> None:
 
     if _FIXTURE_CACHE.get("bloom_expected_for") == sf_dir:
         return
+    if not _os.path.exists(f"{sf_dir}/orders.parquet"):
+        return  # pre-materialization with a guessed sf_dir: the query
+        # callable re-ensures with its real sf_dir before the SQL runs
     keys = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])[
         "o_orderkey"
     ]

@@ -290,11 +290,13 @@ class CrawlRun:
             F.col("src_url").alias("parent_url"),
         )
 
-    def run_round(self, commit_meta: dict | None = None) -> dict:
+    def run_round(self, checkpoint_extra: dict | None = None) -> dict:
         """Execute one round; returns the metrics dict (rows_selected == 0 and
-        rows_in == 0 means the crawl is complete). ``commit_meta`` is
-        recorded atomically with the round's metrics commit — the streaming
-        driver uses it as its exactly-once micro-batch marker."""
+        rows_in == 0 means the crawl is complete). ``checkpoint_extra`` is
+        recorded in the round's final atomic checkpoint (AFTER every table
+        commit) — the streaming driver's exactly-once micro-batch marker:
+        present ⇒ the whole round committed; absent ⇒ a replay first rolls
+        back whatever partial commits exist (``resume``) and re-runs."""
         cfg = self.config
         rnd = self.round + 1
         frontier = self.frontier_t.read(self.spark, schema=FRONTIER)
@@ -495,7 +497,7 @@ class CrawlRun:
             ],
             METRICS,
         )
-        self.metrics_t.append(metrics_row, meta=commit_meta)
+        self.metrics_t.append(metrics_row)
 
         # ---- per-partition lineage (north rule): counters stratified by the
         # url_hash range partition, so an operator can audit exactly which
@@ -532,7 +534,7 @@ class CrawlRun:
         if probed is not None:
             probed.unpersist()
         self.round = rnd
-        self._checkpoint()
+        self._checkpoint(extra=checkpoint_extra)
         return {"round": rnd, **counts, **tier_counts}
 
     def run(self, until_empty: bool = True) -> list[dict]:
@@ -549,8 +551,32 @@ class CrawlRun:
     # checkpoint / resume (north rule resume gate)
     # ------------------------------------------------------------------
 
-    def _checkpoint(self) -> None:
+    _TABLE_SIDS = [
+        ("frontier_t", "frontier_sid"),
+        ("seen_t", "seen_sid"),
+        ("fetch_log_t", "fetch_log_sid"),
+        ("metrics_t", "metrics_sid"),
+        ("lineage_t", "lineage_sid"),
+        ("phash_seen_t", "phash_seen_sid"),
+    ]
+
+    def checkpoint_state(self) -> dict:
+        """The last committed checkpoint (atomic os.replace write)."""
+        with open(os.path.join(self.run_dir, "checkpoint.json")) as f:
+            return json.load(f)
+
+    def dirty_vs_checkpoint(self) -> bool:
+        """True iff any table has commits past the last checkpoint — i.e. a
+        round started but did not reach its checkpoint (crash window)."""
+        state = self.checkpoint_state()
+        return any(
+            getattr(self, attr).current_snapshot_id() != state.get(key)
+            for attr, key in self._TABLE_SIDS
+        )
+
+    def _checkpoint(self, extra: dict | None = None) -> None:
         state = {
+            **(extra or {}),
             "round": self.round,
             "frontier_sid": self.frontier_t.current_snapshot_id(),
             "seen_sid": self.seen_t.current_snapshot_id(),
@@ -573,16 +599,9 @@ class CrawlRun:
         """Reload the last committed checkpoint and roll every table back to
         its recorded snapshot (discarding any partial post-crash commits).
         Returns the round to continue from."""
-        with open(os.path.join(self.run_dir, "checkpoint.json")) as f:
-            state = json.load(f)
-        for table, key in [
-            (self.frontier_t, "frontier_sid"),
-            (self.seen_t, "seen_sid"),
-            (self.fetch_log_t, "fetch_log_sid"),
-            (self.metrics_t, "metrics_sid"),
-            (self.lineage_t, "lineage_sid"),
-            (self.phash_seen_t, "phash_seen_sid"),
-        ]:
+        state = self.checkpoint_state()
+        for attr, key in self._TABLE_SIDS:
+            table = getattr(self, attr)
             sid = state.get(key)
             if sid is not None and table.current_snapshot_id() != sid:
                 table.rollback(sid)

@@ -63,6 +63,7 @@ class SnapshotTable:
     def __init__(self, path: str, stats_cols: list[str] | None = None):
         self.path = path
         self.stats_cols = list(stats_cols) if stats_cols else []
+        self._meta_cache: dict[str, tuple] = {}
         self._snap_dir = os.path.join(path, "snapshots")
         self._data_dir = os.path.join(path, "data")
         os.makedirs(self._snap_dir, exist_ok=True)
@@ -166,15 +167,26 @@ class SnapshotTable:
     def applied_meta(self, key: str) -> set:
         """All ``meta[key]`` values along the CURRENT snapshot's parent chain
         (commits abandoned by a rollback don't count — their data is not in
-        the table, so their batches must be re-applied). O(commits)."""
+        the table, so their batches must be re-applied).
+
+        Memoized per key: the walk stops as soon as it reaches the snapshot
+        the cached set was computed at, so a long-lived ingest stream pays
+        O(new commits) per call, not O(all commits). A rollback that removes
+        the cached snapshot from the chain simply makes the walk reach the
+        root and rebuild the exact set from scratch."""
+        cached_sid, cached = self._meta_cache.get(key, (None, None))
         out: set = set()
-        sid = self.current_snapshot_id()
-        while sid is not None:
+        current = self.current_snapshot_id()
+        sid = current
+        while sid is not None and sid != cached_sid:
             m = self._manifest(sid)
             meta = m.get("meta") or {}
             if key in meta:
                 out.add(meta[key])
             sid = m.get("parent")
+        if sid is not None and cached is not None:
+            out |= cached  # stopped at the cached snapshot: reuse its set
+        self._meta_cache[key] = (current, frozenset(out))
         return out
 
     def rollback(self, snapshot_id: int) -> None:

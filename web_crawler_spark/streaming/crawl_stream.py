@@ -6,10 +6,17 @@ same round function unchanged" — this module delivers exactly that:
 - ``crawl_round_stream``: a file-source tick stream drives ONE scheduling
   round per micro-batch via ``foreachBatch``; the round body is the batch
   engine's ``CrawlRun.run_round`` verbatim, so streamed and batch crawls
-  are byte-identical (pinned in tests). Round application is exactly-once:
-  the stream batch_id is recorded as commit metadata INSIDE the round's
-  metrics commit (atomic with the round's state advance), so a replayed
-  micro-batch after a crash is skipped, not re-run.
+  are byte-identical (pinned in tests). Round application is exactly-once
+  against ANY crash point: the stream batch_id rides in the round's final
+  atomic checkpoint — written only after all six table commits — so a
+  replayed micro-batch either sees the marker (round fully committed →
+  skip) or doesn't (crash mid-round → ``resume()`` rolls every table back
+  to the checkpoint, then the round re-runs cleanly). A round spans
+  multiple table commits, so a mid-round marker could never be atomic;
+  the checkpoint is the engine's existing single commit point. This does
+  assume the round stream is the run's only writer between checkpoints —
+  feed concurrent seed ingest through its own staging table (e.g.
+  ``ingest_gated_candidates`` below), not the live run frontier.
 - ``ingest_gated_candidates``: wires the stateful per-host politeness gate
   (``streaming.stateful.politeness_gate`` — applyInPandasWithState with a
   budget that persists ACROSS micro-batches) in front of frontier
@@ -46,15 +53,18 @@ def crawl_round_stream(
     trigger. Returns the started StreamingQuery.
 
     The tick payload is ignored — a tick is a scheduling impulse (on a
-    cluster this is a processing-time trigger; in tests, files). Replayed
-    batch ids (crash between round commit and offset commit) are detected
-    via the metrics table's commit metadata and skipped.
+    cluster this is a processing-time trigger; in tests, files). Exactly
+    once per batch id: fully-committed rounds are skipped on replay via
+    the checkpoint marker; partially-committed rounds (crash before the
+    checkpoint) are rolled back and re-run.
     """
 
     def body(_df, batch_id: int) -> None:
-        if batch_id in run.metrics_t.applied_meta("stream_batch_id"):
-            return
-        run.run_round(commit_meta={"stream_batch_id": batch_id})
+        if batch_id <= run.checkpoint_state().get("stream_batch_id", -1):
+            return  # round fully committed before the crash → skip replay
+        if run.dirty_vs_checkpoint():
+            run.resume()  # discard the crashed attempt's partial commits
+        run.run_round(checkpoint_extra={"stream_batch_id": batch_id})
 
     src = (
         spark.readStream.schema(TICK_SCHEMA)
@@ -103,9 +113,14 @@ def ingest_gated_candidates(
                 "url",
                 U.url_hash(F.col("url")).alias("url_hash"),
                 F.col("host"),
-                (
+                # clamp inside the depth-1 band: even a pathological
+                # budget_per_host ≥ DEPTH_PRIORITY_STEP must not push an
+                # admission below the depth-2 band (the seed-ingest path
+                # enforces the same invariant for batch counts)
+                F.greatest(
                     faults.discovered_priority(F.lit(1))
-                    - F.col("admitted_seq").cast("double")
+                    - F.col("admitted_seq").cast("double"),
+                    F.lit(float(-(2 * faults.DEPTH_PRIORITY_STEP - 1))),
                 ).alias("priority"),
                 F.lit(1).alias("depth"),
                 F.lit(0).alias("attempts"),
