@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_clusters",
+    "dedup_prune",
     "dedup_simhash",
     "doc_fingerprints",
     "scoped_extract",
@@ -54,6 +55,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_neardup",
+    "embedding_neardup_clusters",
     "media_meta",
 ]
 

@@ -91,6 +91,22 @@ def test_neardup_pairs_threshold(spark):
         assert r["cosine"] >= 0.99
 
 
+def test_neardup_clusters_assigns_min_representative(spark):
+    """Embedding near-dup clustering: every pair shares a cluster, the
+    representative is the member minimum."""
+    df = _vecs(spark)
+    pairs = {(r["id_a"], r["id_b"]) for r in S.neardup_pairs(df, threshold=0.99, planes=4).collect()}
+    assert (0, 40) in pairs
+    clusters = {
+        r["vec_id"]: r["cluster_id"]
+        for r in S.neardup_clusters(df, threshold=0.99, planes=4).collect()
+    }
+    for a, b in pairs:
+        assert clusters[a] == clusters[b]
+        assert clusters[a] <= min(a, b)
+    assert clusters[0] == 0 and clusters[40] == 0
+
+
 def test_zero_vector_yields_null_not_error(spark):
     """ANSI mode: a zero-norm vector must become NULL cosine rows filtered
     out of results, never a DIVIDE_BY_ZERO exception."""

@@ -158,3 +158,47 @@ def test_dedup_clusters_consistent_with_pairs(spark):
         assert rep in clusters and clusters[rep] == rep
         assert rep <= doc
     assert 50 not in clusters  # singletons never enter the frame
+
+
+def test_connected_components_matches_union_find_on_random_graphs(spark):
+    """Randomized (seeded) graphs incl. long chains: the label-propagation +
+    pointer-jumping result must equal a pure-Python union-find, and chains
+    longer than max_iters must still converge (pointer jumping is O(log d))."""
+    import numpy as np
+
+    from web_crawler_spark.operators.textdedup import connected_components
+
+    def union_find(edges):
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {d: find(d) for d in parent}
+
+    rng = np.random.RandomState(11)
+    cases = []
+    for _ in range(3):
+        n = 120
+        edges = [
+            (int(rng.randint(0, n)), int(rng.randint(0, n))) for _ in range(80)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        cases.append(edges)
+    # adversarial: a 100-node chain (diameter 99 >> default max_iters=32)
+    cases.append([(i, i + 1) for i in range(100)])
+
+    for edges in cases:
+        df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        got = {
+            r["doc_id"]: r["cluster_id"] for r in connected_components(df).collect()
+        }
+        assert got == union_find(edges)

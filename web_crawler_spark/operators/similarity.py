@@ -361,6 +361,31 @@ def kmeans_centroids(
     return cents
 
 
+def neardup_clusters(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 8,
+    dims: int = 64,
+) -> DataFrame:
+    """Cluster assignment over embedding near-dup pairs: connected
+    components with the min-id representative — the embedding twin of
+    ``textdedup.dedup_clusters`` (same label-propagation operator, so the
+    whole dedup suite emits prunable cluster ids). Output
+    (vec_id, cluster_id) for every vector with ≥1 near-duplicate."""
+    from .textdedup import connected_components
+
+    pairs = neardup_pairs(
+        corpus, id_col=id_col, vec_col=vec_col,
+        threshold=threshold, planes=planes, dims=dims,
+    )
+    return connected_components(
+        pairs.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    ).select(F.col("doc_id").alias("vec_id"), "cluster_id")
+
+
 def ivf_assign(
     corpus: DataFrame,
     *,

@@ -248,26 +248,26 @@ def connected_components(
     than return silently wrong clusters.
 
     Scale notes: each round is two equi-joins + one groupBy — O(E) shuffled
-    per round, AQE-skew-safe; each round's labels are persisted (and the
-    previous round's cache released) so round k+1 reads materialized data
-    instead of replaying the join lineage; the final labels frame stays
-    cached — it is O(paired docs), tiny relative to the corpus (at cluster
-    scale swap persist for localCheckpoint to also truncate the plan).
-    Nodes in no pair (the vast majority of a corpus) never enter the
-    frame — join the result back LEFT to keep singletons."""
+    per round, AQE-skew-safe. Each round's labels are materialized with
+    ``localCheckpoint(eager=True)``: iterative self-joins otherwise grow
+    the LOGICAL plan ~3× per round (the step references the previous
+    labels three times), and Catalyst re-analysis of that tree is
+    exponential even when execution would read cache — lineage truncation
+    keeps per-round planning O(1). Old rounds' blocks are released by the
+    context cleaner once unreferenced. Nodes in no pair (the vast majority
+    of a corpus) never enter the frame — join the result back LEFT to keep
+    singletons."""
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (
         fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    # labels carries (doc, label, old_label); old_label is the previous
-    # round's value, used only for the fixpoint check
     labels = (
         edges.select(F.col("src").alias("doc"))
         .distinct()
-        .select("doc", F.col("doc").alias("label"), F.col("doc").alias("old_label"))
-        .persist()
+        .select("doc", F.col("doc").alias("label"))
+        .localCheckpoint(eager=True)
     )
     converged = False
     for _ in range(max_iters):
@@ -292,7 +292,8 @@ def connected_components(
             )
         )
         # pointer jumping: follow one's label's label (labels are always doc
-        # ids present in the frame, so the lookup is a self-join)
+        # ids present in the frame, so the lookup is a self-join); chains
+        # compress geometrically → O(log diameter) rounds
         parent = step.select(F.col("doc").alias("label"), F.col("label").alias("jl"))
         new_labels = (
             step.join(parent, "label", "left")
@@ -303,17 +304,14 @@ def connected_components(
                 ).alias("label"),
                 "old_label",
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
-        labels.unpersist()
-        labels = new_labels
+        labels = new_labels.select("doc", "label")
         if changed == 0:
             converged = True
             break
-    edges.unpersist()
     if not converged:
-        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} iterations"
         )
@@ -342,6 +340,43 @@ def dedup_clusters(
         df, id_col, text_col, k=k, perms=perms, bands=bands, threshold=threshold
     )
     return connected_components(pairs.select("doc_a", "doc_b"))
+
+
+def dedup_prune(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    perms: int = DEFAULT_PERMS,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The actual corpus prune: drop every near-duplicate that is not its
+    cluster's representative (min doc id). Output one row per SURVIVING
+    document: (doc_id, kept_as ∈ {representative, unique}) — apply as a
+    left-semi join against the corpus to materialize the pruned set.
+    Linear dataflow: cluster assignment (see ``dedup_clusters``) + two
+    anti/semi joins on doc_id."""
+    clusters = dedup_clusters(
+        df, id_col, text_col, k=k, perms=perms, bands=bands, threshold=threshold
+    ).persist()
+    dupes = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    reps = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "doc_id", F.lit(True).alias("__rep")
+    )
+    kept = (
+        df.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(dupes, "doc_id", "left_anti")
+        .join(reps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("__rep"), F.lit("representative"))
+            .otherwise(F.lit("unique"))
+            .alias("kept_as"),
+        )
+    )
+    return kept
 
 
 def winnow_table(

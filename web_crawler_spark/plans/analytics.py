@@ -635,8 +635,9 @@ def q_dedup_clusters(spark, sf_dir):
     return TD.dedup_clusters(d, "doc_id", "text", k=5, perms=32, bands=4, threshold=0.8)
 
 
-SQL_DEDUP_CLUSTERS = f"""
-WITH RECURSIVE {_SHINGLE_CTE},
+# shared CTE chain: minhash-LSH pairs → undirected edges → transitive
+# min-reachable components (used by dedup_clusters AND dedup_prune)
+_CLUSTER_CTES = f"""{_SHINGLE_CTE},
 pm AS (
   SELECT doc_id, pp.p AS p, MIN(xor({_GRAM_HASH}, {_PERM_CONST})) AS m
   FROM ex, range(32) pp(p) GROUP BY doc_id, pp.p),
@@ -664,9 +665,31 @@ edges AS (
 reach(doc, l) AS (
   SELECT src, src FROM edges
   UNION
-  SELECT e.src, r.l FROM edges e JOIN reach r ON r.doc = e.dst)
-SELECT doc AS doc_id, CAST(MIN(l) AS BIGINT) AS cluster_id
-FROM reach GROUP BY doc
+  SELECT e.src, r.l FROM edges e JOIN reach r ON r.doc = e.dst),
+comp AS (
+  SELECT doc, MIN(l) AS cluster FROM reach GROUP BY doc)"""
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_CLUSTER_CTES}
+SELECT doc AS doc_id, CAST(cluster AS BIGINT) AS cluster_id FROM comp
+"""
+
+
+def q_dedup_prune(spark, sf_dir):
+    """Corpus pruning: one row per SURVIVING document after near-dup
+    clustering — representatives keep their cluster, unclustered docs pass
+    through. The operator that actually shrinks a training corpus."""
+    d = t(spark, sf_dir, "documents")
+    return TD.dedup_prune(d, "doc_id", "text", k=5, perms=32, bands=4, threshold=0.8)
+
+
+SQL_DEDUP_PRUNE = f"""
+WITH RECURSIVE {_CLUSTER_CTES}
+SELECT d.doc_id,
+       CASE WHEN c.doc IS NOT NULL THEN 'representative' ELSE 'unique' END AS kept_as
+FROM documents d
+LEFT JOIN comp c ON c.doc = d.doc_id AND c.doc = c.cluster
+WHERE NOT EXISTS (SELECT 1 FROM comp x WHERE x.doc = d.doc_id AND x.doc <> x.cluster)
 """
 
 
@@ -985,8 +1008,8 @@ def q_embedding_neardup(spark, sf_dir):
 
 _PLANE_SIGN4 = _PLANE_SIGN
 
-SQL_EMBEDDING_NEARDUP = f"""
-WITH {_QUANT_CTE},
+# shared CTE chain for the embedding near-dup family (pairs + clusters)
+_NEARDUP_CTES = f"""{_QUANT_CTE.strip()},
 planes AS (
   SELECT pp.p AS p, dd.d AS d, {_PLANE_SIGN4} AS s
   FROM range(4) pp(p), range(64) dd(d)),
@@ -997,12 +1020,40 @@ buck AS (
   SELECT vec_id,
          CAST(SUM(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
   FROM proj GROUP BY 1),
-vb AS (SELECT v.vec_id, v.qv, b.bucket FROM v JOIN buck b USING (vec_id))
-SELECT id_a, id_b, cosine FROM (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         ROUND({_cos_sql('a.qv', 'b.qv')}, 4) AS cosine
-  FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-WHERE cosine >= 0.4
+vb AS (SELECT v.vec_id, v.qv, b.bucket FROM v JOIN buck b USING (vec_id)),
+ndpairs AS (
+  SELECT id_a, id_b, cosine FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_cos_sql('a.qv', 'b.qv')}, 4) AS cosine
+    FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+  WHERE cosine >= 0.4)"""
+
+SQL_EMBEDDING_NEARDUP = f"""
+WITH {_NEARDUP_CTES}
+SELECT id_a, id_b, cosine FROM ndpairs
+"""
+
+
+def q_embedding_neardup_clusters(spark, sf_dir):
+    """Embedding near-dup cluster assignment: components over the same
+    bucketed pairs, min-id representative (the prunable form of
+    embedding_neardup)."""
+    e = t(spark, sf_dir, "embeddings")
+    return SIM.neardup_clusters(e, threshold=0.4, planes=4)
+
+
+SQL_EMBEDDING_NEARDUP_CLUSTERS = f"""
+WITH RECURSIVE {_NEARDUP_CTES},
+ndedges AS (
+  SELECT id_a AS src, id_b AS dst FROM ndpairs
+  UNION
+  SELECT id_b, id_a FROM ndpairs),
+ndreach(doc, l) AS (
+  SELECT src, src FROM ndedges
+  UNION
+  SELECT e.src, r.l FROM ndedges e JOIN ndreach r ON r.doc = e.dst)
+SELECT doc AS vec_id, CAST(MIN(l) AS BIGINT) AS cluster_id
+FROM ndreach GROUP BY doc
 """
 
 
@@ -1517,6 +1568,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "dedup_prune": (q_dedup_prune, SQL_DEDUP_PRUNE),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     # training-data pipeline: text analysis
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
@@ -1528,6 +1580,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "embedding_neardup_clusters": (
+        q_embedding_neardup_clusters,
+        SQL_EMBEDDING_NEARDUP_CLUSTERS,
+    ),
     # multimodal plumbing
     "media_meta": (q_media_meta, SQL_MEDIA_META),
     # sinks / naming / scalar coalescing
