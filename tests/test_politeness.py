@@ -156,3 +156,46 @@ def test_crawl_delay_caps_budget(spark):
     budgets = {r["host"]: r["host_budget"] for r in out.select("host", "host_budget").distinct().collect()}
     assert budgets["slow.com"] == 2   # 60000 / 30000
     assert budgets["fast.com"] == 8   # delay cap (600) not binding
+
+
+def test_parse_robots_txt_feeds_the_policy_chain(spark):
+    """Raw robots.txt bodies → policy rows → robots_filter/with_host_budget:
+    star-group resolution (incl. multi-UA runs), comment stripping,
+    crawl-delay conversion, and hosts with no applicable rules."""
+    from web_crawler_spark.operators.politeness import (
+        parse_robots_txt,
+        robots_filter,
+        with_host_budget,
+    )
+
+    bodies = [
+        ("a.com", "User-agent: *\nDisallow: /private/\nCrawl-delay: 2"),
+        ("b.com", "User-agent: x\nUser-agent: *\nDisallow: /multi/ # note\n\nUser-agent: y\nDisallow: /y/"),
+        ("c.com", "User-agent: onlybot\nDisallow: /x/"),
+        ("d.com", ""),
+    ]
+    parsed = parse_robots_txt(spark.createDataFrame(bodies, ["host", "robots_txt"]))
+    rows = {r["host"]: r for r in parsed.collect()}
+    assert len(rows) == 4  # every fetched host emits a row
+    assert rows["a.com"]["disallow_prefixes"] == ["/private/"]
+    assert rows["a.com"]["crawl_delay_ms"] == 2000
+    assert rows["b.com"]["disallow_prefixes"] == ["/multi/"]  # comment stripped, y-group ignored
+    assert rows["c.com"]["disallow_prefixes"] == []  # no star group
+    assert rows["d.com"]["disallow_prefixes"] == [] and rows["d.com"]["crawl_delay_ms"] is None
+
+    # parsed output drives the existing policy operators directly
+    frontier = spark.createDataFrame(
+        [("https://a.com/private/p", 1, "a.com", 0.0),
+         ("https://a.com/ok", 2, "a.com", 0.0),
+         ("https://b.com/multi/z", 3, "b.com", 0.0)],
+        ["url", "url_hash", "host", "priority"],
+    )
+    policy = parsed.withColumn("max_per_round", F.lit(8))
+    allowed, blocked = robots_filter(frontier, policy)
+    assert {r["url_hash"] for r in blocked.collect()} == {1, 3}
+    budgets = {
+        r["host"]: r["host_budget"]
+        for r in with_host_budget(allowed, policy, round_window_ms=6000)
+        .select("host", "host_budget").distinct().collect()
+    }
+    assert budgets["a.com"] == 3  # 6000ms window / 2000ms delay

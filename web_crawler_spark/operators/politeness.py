@@ -26,6 +26,84 @@ DEFAULT_HOST_BUDGET = 4
 DEFAULT_SALT_BUCKETS = 16
 
 
+def parse_robots_txt(
+    df: DataFrame, host_col: str = "host", body_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, robots_txt body) → (host, disallow_prefixes, crawl_delay_ms):
+    the parser that turns fetched robots.txt payloads into the broadcastable
+    policy table ``robots_filter``/``with_host_budget`` consume.
+
+    Simplified RFC 9309, deterministic, entirely JVM-side (posexplode lines
+    → window group-resolution → groupBy host; zero UDFs):
+    - groups start at the first ``User-agent:`` line of a consecutive run;
+      a group applies if ANY of its user-agent lines is ``*``;
+    - ``Disallow:`` non-empty path prefixes from applicable groups, distinct
+      + sorted (no wildcard support — prefixes verbatim, matching
+      ``robots_filter``'s startswith semantics);
+    - ``Crawl-delay:`` seconds → milliseconds, minimum across applicable
+      groups (conservative);
+    - ``#`` comments stripped; field names case-insensitive; hosts whose
+      body yields no applicable rules still emit a row (empty prefixes,
+      NULL delay) so the downstream left join sees every fetched host.
+    """
+    ex = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode_outer(F.split(F.coalesce(F.col(body_col), F.lit("")), "\n")).alias(
+            "pos", "raw"
+        ),
+    )
+    ln = F.trim(F.regexp_replace(F.col("raw"), "#.*$", ""))
+    d = ex.select(
+        "host",
+        "pos",
+        ln.alias("ln"),
+        F.lower(ln).alias("low"),
+        F.trim(F.regexp_extract(ln, r"^[^:]*:(.*)$", 1)).alias("val"),
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    d = (
+        d.withColumn("is_ua", F.col("low").startswith("user-agent:"))
+        .withColumn(
+            "run_start",
+            F.col("is_ua") & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False)),
+        )
+        .withColumn("grp", F.sum(F.col("run_start").cast("int")).over(w))
+    )
+    star_groups = (
+        d.filter(F.col("is_ua") & (F.col("val") == "*"))
+        .select("host", "grp")
+        .distinct()
+    )
+    rules = d.join(star_groups, ["host", "grp"], "left_semi")
+    dis = (
+        rules.filter(F.col("low").startswith("disallow:") & (F.col("val") != ""))
+        .groupBy("host")
+        .agg(F.sort_array(F.collect_set("val")).alias("disallow_prefixes"))
+    )
+    delay = (
+        rules.filter(F.col("low").startswith("crawl-delay:"))
+        .groupBy("host")
+        .agg(
+            (F.min(F.col("val").try_cast("double")) * 1000)
+            .cast("long")
+            .alias("crawl_delay_ms")
+        )
+    )
+    return (
+        df.select(F.col(host_col).alias("host"))
+        .distinct()
+        .join(dis, "host", "left")
+        .join(delay, "host", "left")
+        .select(
+            "host",
+            F.coalesce(
+                F.col("disallow_prefixes"), F.array().cast("array<string>")
+            ).alias("disallow_prefixes"),
+            "crawl_delay_ms",
+        )
+    )
+
+
 def robots_filter(
     frontier: DataFrame, robots: DataFrame
 ) -> tuple[DataFrame, DataFrame]:

@@ -1124,6 +1124,89 @@ FROM part
 """
 
 
+# canned robots.txt bodies (shared by the Spark query and the SQL twin):
+# star group / named+star groups with comments / multi-UA run / no star
+# group at all / empty body
+_ROBOTS_BODIES = [
+    "User-agent: *\nDisallow: /private/\nDisallow: /tmp/\nCrawl-delay: 2",
+    "User-agent: googlebot\nDisallow: /only-google/\n\n"
+    "User-agent: *\nDisallow: /admin/ # keep out\nCrawl-delay: 1.5",
+    "User-agent: a\nUser-agent: *\nDisallow: /multi/\n\n"
+    "User-agent: b\nDisallow: /b-only/",
+    "User-agent: onlybot\nDisallow: /x/",
+    "",
+]
+
+
+def q_robots_parse(spark, sf_dir):
+    """robots.txt parsing (north rule: the robots cache starts as fetched
+    robots.txt payloads): raw bodies → per-host policy rows via the pure
+    column-expression parser (posexplode → window group resolution), the
+    exact table robots_filter/with_host_budget broadcast-join."""
+    from ..operators.politeness import parse_robots_txt
+
+    n = t(spark, sf_dir, "nation")
+    host = F.concat(F.lit("h"), F.col("n_nationkey").cast("string"), F.lit(".example.com"))
+    body = F.lit(_ROBOTS_BODIES[-1])
+    for i in range(len(_ROBOTS_BODIES) - 2, -1, -1):
+        body = F.when(
+            F.col("n_nationkey") % len(_ROBOTS_BODIES) == i, F.lit(_ROBOTS_BODIES[i])
+        ).otherwise(body)
+    parsed = parse_robots_txt(
+        n.select(host.alias("host"), body.alias("robots_txt"))
+    )
+    return parsed.select(
+        "host",
+        F.concat_ws("|", "disallow_prefixes").alias("disallow"),
+        "crawl_delay_ms",
+    )
+
+
+def _robots_body_sql() -> str:
+    cases = []
+    for i, b in enumerate(_ROBOTS_BODIES):
+        lines = b.split("\n")
+        expr = " || chr(10) || ".join("'" + ln.replace("'", "''") + "'" for ln in lines)
+        cases.append(f"WHEN {i} THEN {expr}")
+    return "CASE n_nationkey % " + str(len(_ROBOTS_BODIES)) + " " + " ".join(cases) + " END"
+
+
+SQL_ROBOTS_PARSE = f"""
+WITH bodies AS (
+  SELECT 'h' || CAST(n_nationkey AS VARCHAR) || '.example.com' AS host,
+         {_robots_body_sql()} AS body
+  FROM nation),
+l0 AS (
+  SELECT host,
+         unnest(list_transform(
+           generate_series(1, len(string_split(body, chr(10)))),
+           i -> struct_pack(pos := i, raw := string_split(body, chr(10))[i]))) AS u
+  FROM bodies),
+l AS (SELECT host, u.pos AS pos,
+             trim(regexp_replace(u.raw, '#.*$', '')) AS ln
+      FROM l0),
+d AS (
+  SELECT host, pos, ln, lower(ln) AS low,
+         trim(regexp_extract(ln, '^[^:]*:(.*)$', 1)) AS val,
+         lower(ln) LIKE 'user-agent:%' AS is_ua
+  FROM l),
+g0 AS (SELECT *, COALESCE(LAG(is_ua) OVER (PARTITION BY host ORDER BY pos), FALSE) AS prev_ua FROM d),
+g AS (SELECT *, SUM(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+               OVER (PARTITION BY host ORDER BY pos) AS grp
+      FROM g0),
+star AS (SELECT DISTINCT host, grp FROM g WHERE is_ua AND val = '*'),
+rules AS (SELECT g.* FROM g JOIN star USING (host, grp)),
+dis AS (SELECT host, array_to_string(list_sort(list_distinct(list(val))), '|') AS disallow
+        FROM rules WHERE low LIKE 'disallow:%' AND val <> '' GROUP BY host),
+dl AS (SELECT host, CAST(MIN(TRY_CAST(val AS DOUBLE)) * 1000 AS BIGINT) AS crawl_delay_ms
+       FROM rules WHERE low LIKE 'crawl-delay:%' GROUP BY host)
+SELECT b.host, COALESCE(di.disallow, '') AS disallow, dl.crawl_delay_ms
+FROM (SELECT DISTINCT host FROM bodies) b
+LEFT JOIN dis di USING (host)
+LEFT JOIN dl USING (host)
+"""
+
+
 def q_scoped_extract(spark, sf_dir):
     """Scoped-element extraction (reference parser.py:19-112; VERDICT r1 #8):
     id-first / class-membership resolution over a synthesized elements
@@ -1591,6 +1674,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "output_naming": (q_output_naming, SQL_OUTPUT_NAMING),
     "title_fallback": (q_title_fallback, SQL_TITLE_FALLBACK),
     "scoped_extract": (q_scoped_extract, SQL_SCOPED_EXTRACT),
+    "robots_parse": (q_robots_parse, SQL_ROBOTS_PARSE),
     # crawl engine + membership tiers, checked against the independent
     # pure-Python oracle crawler / numpy bloom twin (read_parquet oracles)
     "crawl_fetch_log": (q_crawl_fetch_log, SQL_CRAWL_FETCH_LOG),
