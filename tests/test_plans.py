@@ -68,3 +68,42 @@ def test_whole_stage_codegen_covers_scalar_queries(spark):
     # '*(n)' marks a WholeStageCodegen span in the executed-plan string
     p = _plan(A.q_content_stats(spark, SF))
     assert p.lstrip().startswith("*(1)")
+
+
+def test_round2_operators_avoid_antipatterns(spark):
+    """Round-2 operators: no Python UDF and no cartesian product anywhere in
+    their physical plans; the scope/mapping dims broadcast."""
+    plans = {
+        "scoped_extract": _plan(A.q_scoped_extract(spark, SF)),
+        "robots_parse": _plan(A.q_robots_parse(spark, SF)),
+        "dedup_prune": _plan(A.q_dedup_prune(spark, SF)),
+    }
+    for name, p in plans.items():
+        assert "EvalPython" not in p, name          # zero Python UDFs
+        assert "CartesianProduct" not in p, name    # never a cross join
+    assert "BroadcastHashJoin" in plans["scoped_extract"]  # scopes dim broadcast
+
+
+def test_distributed_tier_probe_plan_is_broadcast_and_arrow(spark, tmp_path):
+    """DistributedSeenTiers.probe: hot tier joins by broadcast (no shuffle
+    of the probe side) and the bloom test is one Arrow-batched pass."""
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.operators.membership import DistributedSeenTiers
+    from web_crawler_spark.schemas import SEEN
+    from web_crawler_spark.sources.lake import SnapshotTable
+
+    seen = SnapshotTable(str(tmp_path / "seen"), stats_cols=["settled_round"])
+    seen.overwrite(
+        spark.range(100).select(
+            F.xxhash64("id").alias("url_hash"),
+            F.concat(F.lit("https://h/"), F.col("id").cast("string")).alias("url"),
+            F.lit(1).cast("int").alias("settled_round"),
+        )
+    )
+    tiers = DistributedSeenTiers(expected_keys=1 << 12, bloom_partitions=8)
+    probe = spark.range(50).select(F.xxhash64("id").alias("url_hash"))
+    p = _plan(tiers.probe(probe, spark, seen, 1))
+    assert "BroadcastHashJoin" in p
+    assert "ArrowEvalPython" in p          # the bloom pandas-UDF pass
+    assert "BatchEvalPython" not in p      # never row-at-a-time Python
