@@ -106,3 +106,43 @@ def test_admit_cap_counts_only_valid_seeds(spark, tmp_path):
         r["url"] for r in frontier.read(spark, schema=FRONTIER).collect()
     )
     assert got == [f"https://ok{i}.com/p" for i in range(3)]
+
+
+def test_incremental_read_returns_only_new_commits(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    s1 = t.overwrite(_mk(spark, 0, 5))
+    s2 = t.append(_mk(spark, 5, 8))
+    t.append(_mk(spark, 8, 10))
+    # delta since s1 = the two appended commits
+    inc = t.read_incremental(spark, s1)
+    assert sorted(r["url_hash"] for r in inc.collect()) == list(range(5, 10))
+    # delta since s2 = only the last commit
+    inc2 = t.read_incremental(spark, s2)
+    assert sorted(r["url_hash"] for r in inc2.collect()) == [8, 9]
+    # caught up → empty (needs schema)
+    cur = t.current_snapshot_id()
+    assert t.read_incremental(spark, cur, schema=inc.schema).count() == 0
+    # from the beginning == the full current table
+    assert t.read_incremental(spark, None).count() == 10
+
+
+def test_incremental_read_refuses_overwritten_ranges(spark, tmp_path):
+    import pytest as _pytest
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    s1 = t.overwrite(_mk(spark, 0, 5))
+    t.overwrite(_mk(spark, 100, 103))  # rewrites the table
+    with _pytest.raises(ValueError, match="not append-only"):
+        t.read_incremental(spark, s1)
+    # an id not on the current chain (abandoned by rollback) is refused too
+    t2 = SnapshotTable(str(tmp_path / "t2"))
+    a = t2.overwrite(_mk(spark, 0, 3))
+    b = t2.append(_mk(spark, 3, 6))
+    t2.rollback(a)
+    t2.append(_mk(spark, 6, 9))  # new branch; b is abandoned
+    # refused either as non-ancestor or (because the walk reaches the root
+    # overwrite first) as not-append-only — both are correct rejections
+    with _pytest.raises(ValueError, match="not an ancestor|not append-only"):
+        t2.read_incremental(spark, b)

@@ -237,6 +237,50 @@ class SnapshotTable:
                 kept.append(d)
         return kept
 
+    def read_incremental(
+        self,
+        spark: SparkSession,
+        since_snapshot_id: int | None,
+        schema: StructType | None = None,
+    ) -> DataFrame:
+        """Rows APPENDED after ``since_snapshot_id`` (exclusive), up to the
+        current snapshot — the Iceberg incremental-scan pattern: a consumer
+        remembers the snapshot id it last processed and reads only the new
+        commit dirs. ``None`` means from the beginning. Raises if the chain
+        from current back to ``since_snapshot_id`` crosses an overwrite
+        (the delta is then not expressible as appended files)."""
+        current = self.current_snapshot_id()
+        if current is None or current == since_snapshot_id:
+            if schema is None:
+                raise ValueError(
+                    f"empty incremental read of {self.path} needs an explicit schema"
+                )
+            return spark.createDataFrame([], schema)
+        new_dirs: list[str] = []
+        sid = current
+        while sid is not None and sid != since_snapshot_id:
+            m = self._manifest(sid)
+            if m["op"] == "overwrite":
+                if since_snapshot_id is not None:
+                    raise ValueError(
+                        f"snapshot {sid} overwrote {self.path}; incremental "
+                        f"read since {since_snapshot_id} is not append-only"
+                    )
+                new_dirs.append(m["files"][-1])
+                break  # an overwrite's dir holds the full table at that point
+            new_dirs.append(m["files"][-1])
+            sid = m.get("parent")
+        if since_snapshot_id is not None and sid != since_snapshot_id:
+            raise ValueError(
+                f"snapshot {since_snapshot_id} is not an ancestor of the "
+                f"current snapshot of {self.path} (rolled back?)"
+            )
+        if not new_dirs:
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(
+            *[os.path.join(self._data_dir, d) for d in new_dirs]
+        )
+
     def read(
         self,
         spark: SparkSession,
