@@ -48,6 +48,7 @@ HEADLINE = [
     "dedup_simhash",
     "doc_fingerprints",
     "scoped_extract",
+    "robots_parse",
     "text_lang_id",
     "text_quality",
     "token_counts",
@@ -120,6 +121,50 @@ def frontier_throughput(spark, n_rows: int = 5_000_000) -> tuple[float, int]:
     return n_rows / dt, n_sel
 
 
+def crawl_engine_bench(spark, n_pages: int = 1500, rounds: int = 3) -> dict:
+    """Macro-bench of the REAL engine: CrawlRun with the distributed
+    membership tiers over a larger cached fixture. What this measures is
+    the per-round FIXED orchestration cost (plan/commit/checkpoint) — the
+    per-row cost is the frontier microbench above; at production scale a
+    round carries millions of rows against the same fixed cost."""
+    import tempfile
+
+    from web_crawler_spark.plans.round import CrawlConfig, CrawlRun
+    from web_crawler_spark.sources.fixtures import generate_site, load_fixture
+    from web_crawler_spark.sources.seeds import read_seeds
+
+    fdir = os.path.join(tempfile.gettempdir(), f"wcs-bench-fixture-{n_pages}")
+    marker = os.path.join(fdir, "_COMPLETE")
+    if not os.path.exists(marker):
+        generate_site(fdir, n_pages=n_pages, n_hosts=100, n_seeds=20)
+        with open(marker, "w") as f:
+            f.write("ok")
+    run = CrawlRun(
+        spark,
+        tempfile.mkdtemp(prefix="wcs-bench-run-"),
+        urls=load_fixture(spark, fdir, "urls"),
+        links=load_fixture(spark, fdir, "links"),
+        pages=load_fixture(spark, fdir, "pages"),
+        robots=load_fixture(spark, fdir, "robots"),
+        config=CrawlConfig(
+            default_host_budget=16, max_rounds=rounds + 1, use_bloom=True
+        ),
+    )
+    run.start(read_seeds(spark, f"{fdir}/seeds.csv"))
+    t0 = time.time()
+    fetched = 0
+    for _ in range(rounds):
+        m = run.run_round()
+        fetched += m["rows_selected"]
+    dt = time.time() - t0
+    return {
+        "crawl_rounds": rounds,
+        "crawl_sec_per_round": round(dt / rounds, 2),
+        "crawl_rows_fetched": fetched,
+        "crawl_fixture_pages": n_pages,
+    }
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -144,6 +189,7 @@ def main():
         print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
 
     urls_per_sec, n_sel = frontier_throughput(spark)
+    crawl = crawl_engine_bench(spark)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -157,6 +203,7 @@ def main():
                 "frontier_rows": 5_000_000,
                 "frontier_selected": n_sel,
                 "cpus": cpus,
+                **crawl,
             }
         )
     )
