@@ -199,3 +199,72 @@ def test_parse_robots_txt_feeds_the_policy_chain(spark):
         .select("host", "host_budget").distinct().collect()
     }
     assert budgets["a.com"] == 3  # 6000ms window / 2000ms delay
+
+
+def test_parse_robots_txt_matches_python_twin_on_random_bodies(spark):
+    """200 seeded-random robots.txt bodies (every token class: star/named/
+    case-variant UA runs, empty+commented+junk lines, unparseable delays)
+    parsed by the Spark operator must equal an independent line-by-line
+    Python twin."""
+    import re as _re
+
+    from web_crawler_spark.operators.politeness import parse_robots_txt
+
+    def py_twin(body: str):
+        groups: list[tuple[set, list]] = []
+        prev_ua = False
+        for raw in body.split("\n"):
+            ln = _re.sub(r"#.*$", "", raw).strip()
+            low = ln.lower()
+            if low.startswith("user-agent:"):
+                if not prev_ua:
+                    groups.append((set(), []))
+                groups[-1][0].add(ln.split(":", 1)[1].strip())
+                prev_ua = True
+            else:
+                if groups:
+                    groups[-1][1].append(ln)
+                prev_ua = False
+        prefixes: set = set()
+        delay = None
+        for uas, rules in groups:
+            if "*" not in uas:
+                continue
+            for r in rules:
+                low = r.lower()
+                val = r.split(":", 1)[1].strip() if ":" in r else ""
+                if low.startswith("disallow:") and val:
+                    prefixes.add(val)
+                elif low.startswith("crawl-delay:"):
+                    try:
+                        ms = int(float(val) * 1000)
+                    except ValueError:
+                        continue
+                    delay = ms if delay is None else min(delay, ms)
+        return sorted(prefixes), delay
+
+    import numpy as np
+
+    vocab = [
+        "User-agent: *", "User-agent: foo", "user-agent:*", "USER-AGENT: Bar",
+        "User-agent: *  # trailing", "Disallow: /a/", "Disallow:",
+        "disallow: /b", "Disallow: /c/ # keep out", "DISALLOW: /UP/",
+        "Crawl-delay: 2", "crawl-delay: 1.5", "Crawl-delay: abc",
+        "Crawl-delay: 10", "", "# just a comment", "Allow: /x",
+        "random junk line", "Sitemap: https://x/s.xml", "Disallow: /a:b",
+    ]
+    rng = np.random.RandomState(23)
+    bodies = [
+        (f"h{i}",
+         "\n".join(vocab[rng.randint(0, len(vocab))] for _ in range(rng.randint(0, 25))))
+        for i in range(200)
+    ]
+    got = {
+        r["host"]: (list(r["disallow_prefixes"]), r["crawl_delay_ms"])
+        for r in parse_robots_txt(
+            spark.createDataFrame(bodies, ["host", "robots_txt"])
+        ).collect()
+    }
+    assert len(got) == 200
+    for host, body in bodies:
+        assert got[host] == py_twin(body), f"{host}: {body!r}"
