@@ -1124,6 +1124,47 @@ FROM part
 """
 
 
+def q_link_pagerank(spark, sf_dir):
+    """Link-graph prioritization: integer-exact PageRank (3 iterations,
+    d=85/100 as integer floor-divisions) over the order→part bipartite
+    edge list standing in for the URL link graph. Bit-identical across
+    engines and cluster sizes — no float summation anywhere."""
+    from ..operators.graph import pagerank
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return pagerank(edges, iters=3).select("node", "rank_int", "rank")
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    ctes = [
+        "e AS (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "od AS (SELECT src, COUNT(*) AS o FROM e GROUP BY src)",
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)",
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst, SUM(r.r // od.o) AS s FROM e "
+            f"JOIN {prev} r ON r.node = e.src JOIN od ON od.src = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r "
+            f"FROM nodes n LEFT JOIN c{i} c ON c.dst = n.node)"
+        )
+        prev = f"r{i}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, r AS rank_int, CAST(r AS DOUBLE) / 1000000 AS rank FROM {prev}"
+    )
+
+
+SQL_LINK_PAGERANK = _pagerank_sql()
+
+
 # canned robots.txt bodies (shared by the Spark query and the SQL twin):
 # star group / named+star groups with comments / multi-UA run / no star
 # group at all / empty body
@@ -1675,6 +1716,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "title_fallback": (q_title_fallback, SQL_TITLE_FALLBACK),
     "scoped_extract": (q_scoped_extract, SQL_SCOPED_EXTRACT),
     "robots_parse": (q_robots_parse, SQL_ROBOTS_PARSE),
+    "link_pagerank": (q_link_pagerank, SQL_LINK_PAGERANK),
     # crawl engine + membership tiers, checked against the independent
     # pure-Python oracle crawler / numpy bloom twin (read_parquet oracles)
     "crawl_fetch_log": (q_crawl_fetch_log, SQL_CRAWL_FETCH_LOG),
