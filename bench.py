@@ -49,6 +49,7 @@ HEADLINE = [
     "doc_fingerprints",
     "scoped_extract",
     "robots_parse",
+    "link_pagerank",
     "text_lang_id",
     "text_quality",
     "token_counts",
