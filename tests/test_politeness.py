@@ -173,10 +173,16 @@ def test_parse_robots_txt_feeds_the_policy_chain(spark):
         ("b.com", "User-agent: x\nUser-agent: *\nDisallow: /multi/ # note\n\nUser-agent: y\nDisallow: /y/"),
         ("c.com", "User-agent: onlybot\nDisallow: /x/"),
         ("d.com", ""),
+        # CRLF body (the common served form) + tab whitespace + fractional
+        # delay (1234.5 ms must TRUNCATE to 1234, matching the oracle)
+        ("e.com", "User-agent: *\r\n\tDisallow: /crlf/\r\nCrawl-delay: 1.2345\r\n"),
     ]
     parsed = parse_robots_txt(spark.createDataFrame(bodies, ["host", "robots_txt"]))
     rows = {r["host"]: r for r in parsed.collect()}
-    assert len(rows) == 4  # every fetched host emits a row
+    assert len(rows) == 5  # every fetched host emits a row
+    assert rows["e.com"]["disallow_prefixes"] == ["/crlf/"]  # CRLF + tab handled
+    assert rows["e.com"]["crawl_delay_ms"] == 1234  # truncation, not rounding
+    assert rows["e.com"]["max_per_round"] is None  # drop-in for with_host_budget
     assert rows["a.com"]["disallow_prefixes"] == ["/private/"]
     assert rows["a.com"]["crawl_delay_ms"] == 2000
     assert rows["b.com"]["disallow_prefixes"] == ["/multi/"]  # comment stripped, y-group ignored
@@ -213,7 +219,7 @@ def test_parse_robots_txt_matches_python_twin_on_random_bodies(spark):
     def py_twin(body: str):
         groups: list[tuple[set, list]] = []
         prev_ua = False
-        for raw in body.split("\n"):
+        for raw in _re.split(r"\r?\n", body):
             ln = _re.sub(r"#.*$", "", raw).strip()
             low = ln.lower()
             if low.startswith("user-agent:"):
@@ -250,13 +256,15 @@ def test_parse_robots_txt_matches_python_twin_on_random_bodies(spark):
         "User-agent: *  # trailing", "Disallow: /a/", "Disallow:",
         "disallow: /b", "Disallow: /c/ # keep out", "DISALLOW: /UP/",
         "Crawl-delay: 2", "crawl-delay: 1.5", "Crawl-delay: abc",
-        "Crawl-delay: 10", "", "# just a comment", "Allow: /x",
-        "random junk line", "Sitemap: https://x/s.xml", "Disallow: /a:b",
+        "Crawl-delay: 10", "Crawl-delay: 1.2345", "", "# just a comment",
+        "Allow: /x", "random junk line", "Sitemap: https://x/s.xml",
+        "Disallow: /a:b", "\tDisallow: /tabbed/",
     ]
     rng = np.random.RandomState(23)
     bodies = [
         (f"h{i}",
-         "\n".join(vocab[rng.randint(0, len(vocab))] for _ in range(rng.randint(0, 25))))
+         ("\r\n" if rng.rand() < 0.3 else "\n").join(
+             vocab[rng.randint(0, len(vocab))] for _ in range(rng.randint(0, 25))))
         for i in range(200)
     ]
     got = {

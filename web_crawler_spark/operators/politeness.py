@@ -42,25 +42,36 @@ def parse_robots_txt(
       ``robots_filter``'s startswith semantics);
     - ``Crawl-delay:`` seconds → milliseconds, minimum across applicable
       groups (conservative);
-    - ``#`` comments stripped; field names case-insensitive; hosts whose
-      body yields no applicable rules still emit a row (empty prefixes,
-      NULL delay) so the downstream left join sees every fetched host.
+    - ``#`` comments stripped; CRLF and LF line endings both accepted;
+      whitespace (spaces/tabs) trimmed with a regex, not ASCII-space-only
+      ``trim``; field names case-insensitive; hosts whose body yields no
+      applicable rules still emit a row (empty prefixes, NULL delay) so
+      the downstream left join sees every fetched host;
+    - multiple rows per host (e.g. a refetched robots.txt) are parsed as
+      the lexicographic concatenation of the distinct bodies —
+      deterministic; pass one row per host for plain semantics.
     """
     ex = df.select(
         F.col(host_col).alias("host"),
-        F.posexplode_outer(F.split(F.coalesce(F.col(body_col), F.lit("")), "\n")).alias(
-            "pos", "raw"
-        ),
+        F.col(body_col).alias("__body"),
+        F.posexplode_outer(
+            F.split(F.coalesce(F.col(body_col), F.lit("")), r"\r?\n")
+        ).alias("pos", "raw"),
     )
-    ln = F.trim(F.regexp_replace(F.col("raw"), "#.*$", ""))
+    ln = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), "#.*$", ""), r"^\s+|\s+$", ""
+    )
     d = ex.select(
         "host",
+        "__body",
         "pos",
         ln.alias("ln"),
         F.lower(ln).alias("low"),
-        F.trim(F.regexp_extract(ln, r"^[^:]*:(.*)$", 1)).alias("val"),
+        F.regexp_replace(
+            F.regexp_extract(ln, r"^[^:]*:(.*)$", 1), r"^\s+|\s+$", ""
+        ).alias("val"),
     )
-    w = Window.partitionBy("host").orderBy("pos")
+    w = Window.partitionBy("host").orderBy("__body", "pos")
     d = (
         d.withColumn("is_ua", F.col("low").startswith("user-agent:"))
         .withColumn(
@@ -100,6 +111,10 @@ def parse_robots_txt(
                 F.col("disallow_prefixes"), F.array().cast("array<string>")
             ).alias("disallow_prefixes"),
             "crawl_delay_ms",
+            # robots.txt carries no per-round cap; NULL lets
+            # with_host_budget fall back to its default_budget, so the
+            # parser output is drop-in for the whole policy chain
+            F.lit(None).cast("int").alias("max_per_round"),
         )
     )
 

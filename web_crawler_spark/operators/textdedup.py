@@ -358,9 +358,11 @@ def dedup_prune(
     left-semi join against the corpus to materialize the pruned set.
     Linear dataflow: cluster assignment (see ``dedup_clusters``) + two
     anti/semi joins on doc_id."""
+    # no persist needed: dedup_clusters' result lineage ends at an eager
+    # localCheckpoint, so both consumers below read materialized blocks
     clusters = dedup_clusters(
         df, id_col, text_col, k=k, perms=perms, bands=bands, threshold=threshold
-    ).persist()
+    )
     dupes = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     reps = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
         "doc_id", F.lit(True).alias("__rep")

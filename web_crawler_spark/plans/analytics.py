@@ -1169,7 +1169,7 @@ SQL_LINK_PAGERANK = _pagerank_sql()
 # star group / named+star groups with comments / multi-UA run / no star
 # group at all / empty body
 _ROBOTS_BODIES = [
-    "User-agent: *\nDisallow: /private/\nDisallow: /tmp/\nCrawl-delay: 2",
+    "User-agent: *\nDisallow: /private/\nDisallow: /tmp/\nCrawl-delay: 2\nCrawl-delay: 1.2345",
     "User-agent: googlebot\nDisallow: /only-google/\n\n"
     "User-agent: *\nDisallow: /admin/ # keep out\nCrawl-delay: 1.5",
     "User-agent: a\nUser-agent: *\nDisallow: /multi/\n\n"
@@ -1220,15 +1220,15 @@ WITH bodies AS (
 l0 AS (
   SELECT host,
          unnest(list_transform(
-           generate_series(1, len(string_split(body, chr(10)))),
-           i -> struct_pack(pos := i, raw := string_split(body, chr(10))[i]))) AS u
+           generate_series(1, len(regexp_split_to_array(body, '\\r?\\n'))),
+           i -> struct_pack(pos := i, raw := regexp_split_to_array(body, '\\r?\\n')[i]))) AS u
   FROM bodies),
 l AS (SELECT host, u.pos AS pos,
-             trim(regexp_replace(u.raw, '#.*$', '')) AS ln
+             regexp_replace(regexp_replace(u.raw, '#.*$', ''), '^\s+|\s+$', '', 'g') AS ln
       FROM l0),
 d AS (
   SELECT host, pos, ln, lower(ln) AS low,
-         trim(regexp_extract(ln, '^[^:]*:(.*)$', 1)) AS val,
+         regexp_replace(regexp_extract(ln, '^[^:]*:(.*)$', 1), '^\s+|\s+$', '', 'g') AS val,
          lower(ln) LIKE 'user-agent:%' AS is_ua
   FROM l),
 g0 AS (SELECT *, COALESCE(LAG(is_ua) OVER (PARTITION BY host ORDER BY pos), FALSE) AS prev_ua FROM d),
@@ -1239,7 +1239,7 @@ star AS (SELECT DISTINCT host, grp FROM g WHERE is_ua AND val = '*'),
 rules AS (SELECT g.* FROM g JOIN star USING (host, grp)),
 dis AS (SELECT host, array_to_string(list_sort(list_distinct(list(val))), '|') AS disallow
         FROM rules WHERE low LIKE 'disallow:%' AND val <> '' GROUP BY host),
-dl AS (SELECT host, CAST(MIN(TRY_CAST(val AS DOUBLE)) * 1000 AS BIGINT) AS crawl_delay_ms
+dl AS (SELECT host, CAST(TRUNC(MIN(TRY_CAST(val AS DOUBLE)) * 1000) AS BIGINT) AS crawl_delay_ms
        FROM rules WHERE low LIKE 'crawl-delay:%' GROUP BY host)
 SELECT b.host, COALESCE(di.disallow, '') AS disallow, dl.crawl_delay_ms
 FROM (SELECT DISTINCT host FROM bodies) b

@@ -250,6 +250,14 @@ class SnapshotTable:
         from current back to ``since_snapshot_id`` crosses an overwrite
         (the delta is then not expressible as appended files)."""
         current = self.current_snapshot_id()
+        if current is None and since_snapshot_id is not None:
+            # a remembered snapshot against a table with no current snapshot
+            # (deleted/recreated): silently returning an empty delta would
+            # make the consumer skip everything committed to the new table
+            raise ValueError(
+                f"snapshot {since_snapshot_id} is not an ancestor of the "
+                f"current snapshot of {self.path} (table recreated?)"
+            )
         if current is None or current == since_snapshot_id:
             if schema is None:
                 raise ValueError(
