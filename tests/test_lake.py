@@ -146,3 +146,39 @@ def test_incremental_read_refuses_overwritten_ranges(spark, tmp_path):
     # overwrite first) as not-append-only — both are correct rejections
     with _pytest.raises(ValueError, match="not an ancestor|not append-only"):
         t2.read_incremental(spark, b)
+
+
+def test_compact_and_expire_snapshots(spark, tmp_path):
+    """Maintenance ops: compaction folds N commit dirs into one with the
+    data intact; expiration deletes unreachable manifests + unreferenced
+    data dirs while retained snapshots keep reading."""
+    import os
+
+    t = SnapshotTable(str(tmp_path / "t"), stats_cols=["settled_round"])
+    t.overwrite(_mk(spark, 0, 5))
+    for lo in (5, 10, 15):
+        t.append(_mk(spark, lo, lo + 5))
+    assert len(t.data_dirs()) == 4
+    pre = sorted(r["url_hash"] for r in t.read(spark).collect())
+
+    sid = t.compact(spark)
+    assert len(t.data_dirs()) == 1
+    assert sorted(r["url_hash"] for r in t.read(spark).collect()) == pre
+    # compaction is a normal snapshot: time travel to the pre-compaction
+    # snapshot still works until expiration
+    assert t.read(spark, snapshot_id=sid - 1).count() == 20
+
+    data_dir = os.path.join(str(tmp_path / "t"), "data")
+    n_dirs_before = len(os.listdir(data_dir))
+    deleted = t.expire_snapshots(keep_last=1)
+    assert deleted and len(os.listdir(data_dir)) == n_dirs_before - len(deleted)
+    assert sorted(r["url_hash"] for r in t.read(spark).collect()) == pre
+    assert [m["id"] for m in t.snapshots()] == [t.current_snapshot_id()]
+    # post-expiration commits + applied_meta still work (dangling parent)
+    t.append(_mk(spark, 20, 22), meta={"ingest_batch_id": 9})
+    assert t.applied_meta("ingest_batch_id") == {9}
+    assert t.read(spark).count() == 22
+    # an expired since-id is a loud error for incremental consumers
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="expired|not an ancestor|not append-only"):
+        t.read_incremental(spark, sid - 1)

@@ -179,7 +179,10 @@ class SnapshotTable:
         current = self.current_snapshot_id()
         sid = current
         while sid is not None and sid != cached_sid:
-            m = self._manifest(sid)
+            try:
+                m = self._manifest(sid)
+            except FileNotFoundError:
+                break  # ancestor expired: its meta is gone with its data
             meta = m.get("meta") or {}
             if key in meta:
                 out.add(meta[key])
@@ -188,6 +191,46 @@ class SnapshotTable:
             out |= cached  # stopped at the cached snapshot: reuse its set
         self._meta_cache[key] = (current, frozenset(out))
         return out
+
+    def compact(self, spark: SparkSession) -> int:
+        """Rewrite the table's current contents into ONE commit dir (the
+        Iceberg rewrite_data_files maintenance op): a long-running crawl
+        appends one dir per round, and scans eventually pay per-dir open
+        costs — compaction resets that to a single dir. Old snapshots keep
+        reading their own files (snapshot isolation); reclaim their space
+        with ``expire_snapshots``. Returns the new snapshot id."""
+        return self.overwrite(self.read(spark), meta={"compaction": True})
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Drop all but the last ``keep_last`` snapshots reachable from the
+        current one, delete manifests of unreachable snapshots (abandoned
+        rollback branches included), and remove data dirs no retained
+        manifest references (the Iceberg expire_snapshots maintenance op).
+        Time travel to expired snapshots stops working — by design.
+        Returns the deleted data dirs."""
+        import shutil
+
+        keep_ids: list[int] = []
+        sid = self.current_snapshot_id()
+        while sid is not None and len(keep_ids) < keep_last:
+            keep_ids.append(sid)
+            sid = self._manifest(sid).get("parent")
+        keep_dirs: set[str] = set()
+        for k in keep_ids:
+            keep_dirs.update(self._manifest(k)["files"])
+        deleted: list[str] = []
+        for m in self.snapshots():
+            if m["id"] not in keep_ids:
+                os.remove(os.path.join(self._snap_dir, f"s{m['id']:08d}.json"))
+        for d in os.listdir(self._data_dir):
+            if d not in keep_dirs:
+                shutil.rmtree(os.path.join(self._data_dir, d), ignore_errors=True)
+                deleted.append(d)
+        # the oldest retained snapshot may reference a now-expired parent id;
+        # retained manifests themselves are untouched (parent pointers to
+        # expired snapshots simply dangle, same as Iceberg)
+        self._meta_cache.clear()
+        return deleted
 
     def rollback(self, snapshot_id: int) -> None:
         """Point _current back at an earlier snapshot (crash-resume path)."""
@@ -267,7 +310,13 @@ class SnapshotTable:
         new_dirs: list[str] = []
         sid = current
         while sid is not None and sid != since_snapshot_id:
-            m = self._manifest(sid)
+            try:
+                m = self._manifest(sid)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"snapshot chain of {self.path} is expired past "
+                    f"{since_snapshot_id}; incremental read must restart"
+                ) from None
             if m["op"] == "overwrite":
                 if since_snapshot_id is not None:
                     raise ValueError(
