@@ -91,3 +91,53 @@ def test_snapshot_time_travel(spark, fixture_dir, tmp_path_factory):
     assert run.fetch_log_t.read(spark).count() > n_r1
     # time travel back to the round-1 snapshot
     assert run.fetch_log_t.read(spark, snapshot_id=sid_after_r1).count() == n_r1
+
+
+def test_maintain_preserves_crawl_and_resume(spark, tmp_path_factory):
+    """maintain() between rounds must not change any result: the maintained
+    crawl's fetch log equals an unmaintained twin's, history dirs shrink,
+    and kill/resume still works afterwards."""
+    from web_crawler_spark.plans.round import CrawlConfig, CrawlRun
+    from web_crawler_spark.schemas import FETCH_LOG
+    from web_crawler_spark.sources.fixtures import generate_site, load_fixture
+    from web_crawler_spark.sources.seeds import read_seeds
+
+    fdir = str(tmp_path_factory.mktemp("maint-fixture"))
+    generate_site(fdir, n_pages=100, n_hosts=6, n_seeds=5)
+    kw = dict(
+        urls=load_fixture(spark, fdir, "urls"),
+        links=load_fixture(spark, fdir, "links"),
+        pages=load_fixture(spark, fdir, "pages"),
+        robots=load_fixture(spark, fdir, "robots"),
+        config=CrawlConfig(default_host_budget=3, max_rounds=10),
+    )
+
+    def log_rows(run):
+        return sorted(
+            map(
+                tuple,
+                run.fetch_log_t.read(spark, schema=FETCH_LOG)
+                .select("round", "fetch_seq", "url", "status")
+                .collect(),
+            )
+        )
+
+    plain = CrawlRun(spark, str(tmp_path_factory.mktemp("plain")), **kw)
+    plain.start(read_seeds(spark, f"{fdir}/seeds.csv"))
+    for _ in range(4):
+        plain.run_round()
+
+    maint = CrawlRun(spark, str(tmp_path_factory.mktemp("maint")), **kw)
+    maint.start(read_seeds(spark, f"{fdir}/seeds.csv"))
+    maint.run_round()
+    maint.run_round()
+    dirs_before = len(maint.fetch_log_t.data_dirs())
+    stats = maint.maintain(keep_last=1)
+    assert len(maint.fetch_log_t.data_dirs()) == 1 < dirs_before
+    assert sum(stats.values()) > 0  # something actually expired
+    maint.run_round()
+    # kill/resume across the maintenance boundary
+    resumed = CrawlRun(spark, maint.run_dir, **kw)
+    assert resumed.resume() == 3
+    resumed.run_round()
+    assert log_rows(resumed) == log_rows(plain)

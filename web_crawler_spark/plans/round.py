@@ -595,6 +595,42 @@ class CrawlRun:
             json.dump(state, f)
         os.replace(tmp, os.path.join(self.run_dir, "checkpoint.json"))
 
+    def maintain(self, keep_last: int = 4) -> dict:
+        """Table maintenance between rounds (run it every K rounds on a
+        long crawl; NOT mid-stream — the round stream must be idle):
+
+        - compact the append-only history tables (fetch_log, metrics,
+          lineage, phash_seen) — one commit dir each instead of one per
+          round, so later scans stop paying per-dir open costs;
+        - expire snapshots beyond ``keep_last`` on every table, reclaiming
+          expired rounds' data dirs;
+        - the **seen table is expired but never compacted**: its per-commit
+          settled_round min/max stats are what let the distributed tier's
+          hot-slice and flush scans prune to post-watermark commits, and a
+          compacted dir would span every round (no pruning);
+        - re-checkpoints afterwards (preserving any streaming batch
+          markers) so resume targets post-maintenance snapshots.
+
+        Returns {table: n_expired_dirs}.
+        """
+        reserved = {"round", "tiers_file"} | {k for _, k in self._TABLE_SIDS}
+        extra = {
+            k: v for k, v in self.checkpoint_state().items() if k not in reserved
+        }
+        stats: dict[str, int] = {}
+        for name, table in [
+            ("fetch_log", self.fetch_log_t),
+            ("metrics", self.metrics_t),
+            ("lineage", self.lineage_t),
+            ("phash_seen", self.phash_seen_t),
+        ]:
+            table.compact(self.spark)
+            stats[name] = len(table.expire_snapshots(keep_last=keep_last))
+        for name, table in [("seen", self.seen_t), ("frontier", self.frontier_t)]:
+            stats[name] = len(table.expire_snapshots(keep_last=keep_last))
+        self._checkpoint(extra=extra)
+        return stats
+
     def resume(self) -> int:
         """Reload the last committed checkpoint and roll every table back to
         its recorded snapshot (discarding any partial post-crash commits).
