@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_prune",
+    "corpus_curation",
     "dedup_simhash",
     "doc_fingerprints",
     "scoped_extract",

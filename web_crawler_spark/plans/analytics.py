@@ -636,8 +636,10 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 # shared CTE chain: minhash-LSH pairs → undirected edges → transitive
-# min-reachable components (used by dedup_clusters AND dedup_prune)
-_CLUSTER_CTES = f"""{_SHINGLE_CTE},
+# min-reachable components (used by dedup_clusters, dedup_prune AND the
+# corpus-curation pipeline, which runs it over a filtered source)
+def _cluster_ctes(src: str = "documents") -> str:
+    return f"""{_shingle_cte(src)},
 pm AS (
   SELECT doc_id, pp.p AS p, MIN(xor({_GRAM_HASH}, {_PERM_CONST})) AS m
   FROM ex, range(32) pp(p) GROUP BY doc_id, pp.p),
@@ -668,6 +670,9 @@ reach(doc, l) AS (
   SELECT e.src, r.l FROM edges e JOIN reach r ON r.doc = e.dst),
 comp AS (
   SELECT doc, MIN(l) AS cluster FROM reach GROUP BY doc)"""
+
+
+_CLUSTER_CTES = _cluster_ctes()
 
 SQL_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE {_CLUSTER_CTES}
@@ -736,24 +741,30 @@ def _stoplist_sql(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in T.STOPWORDS[lang]) + "]"
 
 
-SQL_TEXT_LANG_ID = f"""
-WITH w AS (
+_LANG_CASE_EXPR = """CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) * 4 > length(text) THEN 'zh'
+            WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+            WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+            ELSE 'fr' END"""
+
+
+def _lang_ctes(src: str = "documents", w: str = "w", s: str = "s") -> str:
+    return f"""{w} AS (
   SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z]+') AS toks
-  FROM documents),
-s AS (
+  FROM {src}),
+{s} AS (
   SELECT doc_id, text,
          len(list_filter(toks, t -> list_contains({_stoplist_sql('en')}, t))) AS s_en,
          len(list_filter(toks, t -> list_contains({_stoplist_sql('de')}, t))) AS s_de,
          len(list_filter(toks, t -> list_contains({_stoplist_sql('es')}, t))) AS s_es,
          len(list_filter(toks, t -> list_contains({_stoplist_sql('fr')}, t))) AS s_fr
-  FROM w)
-SELECT doc_id,
-       CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) * 4 > length(text) THEN 'zh'
-            WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
-            WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
-            WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
-            WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
-            ELSE 'fr' END AS lang_pred
+  FROM {w})"""
+
+
+SQL_TEXT_LANG_ID = f"""
+WITH {_lang_ctes()}
+SELECT doc_id, {_LANG_CASE_EXPR} AS lang_pred
 FROM s
 """
 
@@ -772,8 +783,8 @@ def q_text_quality(spark, sf_dir):
     )
 
 
-SQL_TEXT_QUALITY = rf"""
-WITH f AS (
+def _quality_f_cte(src: str = "documents", name: str = "f") -> str:
+    return rf"""{name} AS (
   SELECT doc_id,
          length(text) AS n_chars,
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens,
@@ -782,17 +793,24 @@ WITH f AS (
          len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
          len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
                          t -> list_contains({_stoplist_sql('en')}, t))) AS n_stop
-  FROM documents)
-SELECT doc_id,
-       CAST(n_chars AS BIGINT) AS n_chars,
-       CAST(n_tokens AS BIGINT) AS n_tokens,
-       CAST(n_stop AS BIGINT) AS n_stop,
-       ROUND(GREATEST(LEAST(
+  FROM {src})"""
+
+
+_QUALITY_SCORE_EXPR = """ROUND(GREATEST(LEAST(
          0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
          + 0.4 * LEAST(CAST(n_stop AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) * 5.0, 1.0)
          + 0.2 * (1.0 - LEAST(CAST(n_punct AS DOUBLE) / CAST(GREATEST(n_tokens, 1) AS DOUBLE) * 5.0, 1.0))
          - 0.2 * LEAST(CAST(n_digit AS DOUBLE) / CAST(GREATEST(n_tokens, 1) AS DOUBLE) * 5.0, 1.0),
-         1.0), 0.0), 4) AS score
+         1.0), 0.0), 4)"""
+
+
+SQL_TEXT_QUALITY = f"""
+WITH {_quality_f_cte()}
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_stop AS BIGINT) AS n_stop,
+       {_QUALITY_SCORE_EXPR} AS score
 FROM f
 """
 
@@ -815,6 +833,55 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
          AS re_tokens
 FROM documents
+"""
+
+
+def q_corpus_curation(spark, sf_dir):
+    """The training-data pipeline end-to-end in one declarative plan:
+    language-ID gate (en) → quality-score gate (≥ 0.5) → near-dup pruning
+    WITHIN the filtered corpus → per-survivor (doc_id, score, ws_tokens,
+    kept_as). Every stage is an operator with its own oracle entry; this
+    entry pins their composition."""
+    d = t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "text",
+        T.lang_id(F.col("text")).alias("lang"),
+        T.quality_score(F.col("text")).alias("score"),
+        T.ws_token_count(F.col("text")).cast("long").alias("ws_tokens"),
+    )
+    kept = scored.filter((F.col("lang") == "en") & (F.col("score") >= 0.5))
+    survivors = TD.dedup_prune(kept.select("doc_id", "text"), "doc_id", "text")
+    return kept.join(survivors, "doc_id").select(
+        "doc_id", "score", "ws_tokens", "kept_as"
+    )
+
+
+SQL_CORPUS_CURATION = rf"""
+WITH RECURSIVE {_lang_ctes()},
+lang AS (SELECT doc_id, {_LANG_CASE_EXPR} AS lang_pred FROM s),
+{_quality_f_cte(name="qf")},
+qual AS (SELECT doc_id, {_QUALITY_SCORE_EXPR} AS score FROM qf),
+wt AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+           AS ws_tokens
+  FROM documents),
+filtered AS (
+  SELECT d.doc_id, d.text
+  FROM documents d
+  JOIN lang l USING (doc_id)
+  JOIN qual q USING (doc_id)
+  WHERE l.lang_pred = 'en' AND q.score >= 0.5),
+{_cluster_ctes("filtered")}
+SELECT f.doc_id, q.score, w2.ws_tokens,
+       CASE WHEN c.doc IS NOT NULL THEN 'representative' ELSE 'unique' END AS kept_as
+FROM filtered f
+JOIN qual q USING (doc_id)
+JOIN wt w2 USING (doc_id)
+LEFT JOIN comp c ON c.doc = f.doc_id AND c.doc = c.cluster
+WHERE NOT EXISTS (SELECT 1 FROM comp x WHERE x.doc = f.doc_id AND x.doc <> x.cluster)
 """
 
 
@@ -1693,6 +1760,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_prune": (q_dedup_prune, SQL_DEDUP_PRUNE),
+    "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     # training-data pipeline: text analysis
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
