@@ -182,3 +182,43 @@ def test_compact_and_expire_snapshots(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="expired|not an ancestor|not append-only"):
         t.read_incremental(spark, sid - 1)
+
+
+def test_repeated_expiration_handles_dangling_parents(spark, tmp_path):
+    """expire → append → expire again must not crash on the dangling parent
+    id the first expiration left behind."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.overwrite(_mk(spark, 0, 3))
+    t.append(_mk(spark, 3, 6))
+    t.expire_snapshots(keep_last=1)
+    t.append(_mk(spark, 6, 9))
+    t.expire_snapshots(keep_last=3)  # walk crosses the dangling parent
+    assert t.read(spark).count() == 9
+
+
+def test_incremental_from_beginning_survives_expiration(spark, tmp_path):
+    """A fresh incremental consumer (since=None) must keep working after
+    old manifests are expired — the current manifest still lists every
+    data dir."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.overwrite(_mk(spark, 0, 3))
+    t.append(_mk(spark, 3, 6))
+    t.append(_mk(spark, 6, 9))
+    t.expire_snapshots(keep_last=1)
+    assert t.read_incremental(spark, None).count() == 9
+
+
+def test_applied_meta_survives_compaction_and_expiration(spark, tmp_path):
+    """Compaction carries ancestor commit metadata forward, so idempotence
+    markers outlive maintenance — the exactly-once guarantee stays intact."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.overwrite(_mk(spark, 0, 3), meta={"ingest_batch_id": 0})
+    t.append(_mk(spark, 3, 6), meta={"ingest_batch_id": 1})
+    t.compact(spark)
+    t.expire_snapshots(keep_last=1)  # original marker commits are gone
+    assert t.applied_meta("ingest_batch_id") == {0, 1}
+    # and a second compaction keeps carrying them
+    t.append(_mk(spark, 6, 9), meta={"ingest_batch_id": 2})
+    t.compact(spark)
+    t.expire_snapshots(keep_last=1)
+    assert t.applied_meta("ingest_batch_id") == {0, 1, 2}

@@ -141,3 +141,36 @@ def test_maintain_preserves_crawl_and_resume(spark, tmp_path_factory):
     assert resumed.resume() == 3
     resumed.run_round()
     assert log_rows(resumed) == log_rows(plain)
+
+
+def test_maintain_on_fresh_handle_preserves_checkpoint_round(spark, tmp_path_factory):
+    """Offline maintenance: maintain() on a freshly opened CrawlRun (no
+    resume() call) must keep the on-disk round/marker state intact, and
+    never leave checkpoint.json pointing at an expired snapshot."""
+    from web_crawler_spark.plans.round import CrawlConfig, CrawlRun
+    from web_crawler_spark.sources.fixtures import generate_site, load_fixture
+    from web_crawler_spark.sources.seeds import read_seeds
+
+    fdir = str(tmp_path_factory.mktemp("fresh-maint-fixture"))
+    generate_site(fdir, n_pages=60, n_hosts=5, n_seeds=4)
+    kw = dict(
+        urls=load_fixture(spark, fdir, "urls"),
+        links=load_fixture(spark, fdir, "links"),
+        pages=load_fixture(spark, fdir, "pages"),
+        robots=load_fixture(spark, fdir, "robots"),
+        config=CrawlConfig(default_host_budget=3, max_rounds=10),
+    )
+    run = CrawlRun(spark, str(tmp_path_factory.mktemp("fresh-maint")), **kw)
+    run.start(read_seeds(spark, f"{fdir}/seeds.csv"))
+    run.run_round()
+    run.run_round()
+
+    fresh = CrawlRun(spark, run.run_dir, **kw)  # new handle, NO resume()
+    fresh.maintain(keep_last=1)
+    state = fresh.checkpoint_state()
+    assert state["round"] == 2  # on-disk round preserved, not reset to 0
+    # checkpoint targets live (post-compaction) snapshots: resume works
+    resumed = CrawlRun(spark, run.run_dir, **kw)
+    assert resumed.resume() == 2
+    m = resumed.run_round()
+    assert m["round"] == 3

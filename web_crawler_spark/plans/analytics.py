@@ -62,6 +62,13 @@ v AS (SELECT vec_id, list_transform(embedding,
 """
 
 
+
+# one definition of the whitespace-token count (shared by content_stats,
+# token_counts and the corpus-curation pipeline — parity requires the SQL
+# expression to be literally identical everywhere it appears)
+_WS_TOKENS_SQL = r"""CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)"""
+
 def _dot_sql(a: str, b: str) -> str:
     return (
         f"CAST(list_sum(list_transform(generate_series(1,64), i -> {a}[i]*{b}[i])) AS DOUBLE)"
@@ -435,10 +442,9 @@ def q_content_stats(spark, sf_dir):
     )
 
 
-SQL_CONTENT_STATS = r"""
+SQL_CONTENT_STATS = f"""
 SELECT doc_id,
-       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+       {_WS_TOKENS_SQL}
          AS word_count,
        CAST(length(text) AS BIGINT) AS char_count
 FROM documents
@@ -825,10 +831,9 @@ def q_token_counts(spark, sf_dir):
     )
 
 
-SQL_TOKEN_COUNTS = r"""
+SQL_TOKEN_COUNTS = rf"""
 SELECT doc_id,
-       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+       {_WS_TOKENS_SQL}
          AS ws_tokens,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
          AS re_tokens
@@ -850,7 +855,12 @@ def q_corpus_curation(spark, sf_dir):
         T.quality_score(F.col("text")).alias("score"),
         T.ws_token_count(F.col("text")).cast("long").alias("ws_tokens"),
     )
-    kept = scored.filter((F.col("lang") == "en") & (F.col("score") >= 0.5))
+    # persist: kept feeds BOTH the dedup pipeline and the final join — the
+    # lang/quality expression chains are the dominant per-row cost and must
+    # not be evaluated twice (bounded: the filtered corpus)
+    kept = scored.filter(
+        (F.col("lang") == "en") & (F.col("score") >= 0.5)
+    ).persist()
     survivors = TD.dedup_prune(kept.select("doc_id", "text"), "doc_id", "text")
     return kept.join(survivors, "doc_id").select(
         "doc_id", "score", "ws_tokens", "kept_as"
@@ -863,10 +873,7 @@ lang AS (SELECT doc_id, {_LANG_CASE_EXPR} AS lang_pred FROM s),
 {_quality_f_cte(name="qf")},
 qual AS (SELECT doc_id, {_QUALITY_SCORE_EXPR} AS score FROM qf),
 wt AS (
-  SELECT doc_id,
-         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
-           AS ws_tokens
+  SELECT doc_id, {_WS_TOKENS_SQL} AS ws_tokens
   FROM documents),
 filtered AS (
   SELECT d.doc_id, d.text

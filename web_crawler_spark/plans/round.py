@@ -600,35 +600,52 @@ class CrawlRun:
         long crawl; NOT mid-stream — the round stream must be idle):
 
         - compact the append-only history tables (fetch_log, metrics,
-          lineage, phash_seen) — one commit dir each instead of one per
-          round, so later scans stop paying per-dir open costs;
-        - expire snapshots beyond ``keep_last`` on every table, reclaiming
-          expired rounds' data dirs;
+          lineage, phash_seen) and the frontier — one commit dir each
+          instead of one per round, with commit metadata (idempotence
+          markers) carried forward by the compaction commit;
         - the **seen table is expired but never compacted**: its per-commit
           settled_round min/max stats are what let the distributed tier's
           hot-slice and flush scans prune to post-watermark commits, and a
           compacted dir would span every round (no pruning);
-        - re-checkpoints afterwards (preserving any streaming batch
-          markers) so resume targets post-maintenance snapshots.
+        - expire snapshots beyond ``keep_last``, reclaiming expired rounds'
+          data dirs.
+
+        Crash-safety ordering: compact first (old snapshots untouched, so a
+        crash here resumes against the pre-maintenance checkpoint), THEN
+        re-checkpoint onto the compacted snapshots, THEN expire (the new
+        checkpoint's snapshots are the most recent, so any ``keep_last ≥ 1``
+        retains them) — there is no window in which checkpoint.json points
+        at an expired snapshot. The checkpoint rewrite takes round /
+        tiers_file / stream markers from the ON-DISK state, so maintain()
+        is safe on a freshly opened run without calling resume() first.
 
         Returns {table: n_expired_dirs}.
         """
-        reserved = {"round", "tiers_file"} | {k for _, k in self._TABLE_SIDS}
-        extra = {
-            k: v for k, v in self.checkpoint_state().items() if k not in reserved
-        }
-        stats: dict[str, int] = {}
-        for name, table in [
+        if self.dirty_vs_checkpoint():
+            raise RuntimeError(
+                "maintain() on a run with un-checkpointed commits — "
+                "resume() (or finish the round) first"
+            )
+        compactable = [
             ("fetch_log", self.fetch_log_t),
             ("metrics", self.metrics_t),
             ("lineage", self.lineage_t),
             ("phash_seen", self.phash_seen_t),
-        ]:
+            ("frontier", self.frontier_t),
+        ]
+        for _name, table in compactable:
             table.compact(self.spark)
+        # re-checkpoint from the ON-DISK state + the new snapshot ids
+        state = self.checkpoint_state()
+        for attr, key in self._TABLE_SIDS:
+            state[key] = getattr(self, attr).current_snapshot_id()
+        tmp = os.path.join(self.run_dir, f".ckpt-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, os.path.join(self.run_dir, "checkpoint.json"))
+        stats: dict[str, int] = {}
+        for name, table in compactable + [("seen", self.seen_t)]:
             stats[name] = len(table.expire_snapshots(keep_last=keep_last))
-        for name, table in [("seen", self.seen_t), ("frontier", self.frontier_t)]:
-            stats[name] = len(table.expire_snapshots(keep_last=keep_last))
-        self._checkpoint(extra=extra)
         return stats
 
     def resume(self) -> int:

@@ -186,6 +186,9 @@ class SnapshotTable:
             meta = m.get("meta") or {}
             if key in meta:
                 out.add(meta[key])
+            carried = meta.get("carried_meta") or {}
+            if key in carried:
+                out.update(carried[key])  # markers preserved across compaction
             sid = m.get("parent")
         if sid is not None and cached is not None:
             out |= cached  # stopped at the cached snapshot: reuse its set
@@ -198,8 +201,34 @@ class SnapshotTable:
         appends one dir per round, and scans eventually pay per-dir open
         costs — compaction resets that to a single dir. Old snapshots keep
         reading their own files (snapshot isolation); reclaim their space
-        with ``expire_snapshots``. Returns the new snapshot id."""
-        return self.overwrite(self.read(spark), meta={"compaction": True})
+        with ``expire_snapshots``.
+
+        The compaction commit CARRIES FORWARD the union of all ancestor
+        commit metadata (``carried_meta``), so idempotence markers
+        (``applied_meta``) survive compaction + expiration of the original
+        commits — the exactly-once guarantees built on them stay intact.
+        Returns the new snapshot id."""
+        carried: dict[str, set] = {}
+        sid = self.current_snapshot_id()
+        while sid is not None:
+            try:
+                m = self._manifest(sid)
+            except FileNotFoundError:
+                break  # already-expired ancestor
+            meta = m.get("meta") or {}
+            for k, v in meta.items():
+                if k == "compaction":
+                    continue
+                if k == "carried_meta":
+                    for ck, cvs in v.items():
+                        carried.setdefault(ck, set()).update(cvs)
+                else:
+                    carried.setdefault(k, set()).add(v)
+            sid = m.get("parent")
+        meta: dict = {"compaction": True}
+        if carried:
+            meta["carried_meta"] = {k: sorted(vs) for k, vs in carried.items()}
+        return self.overwrite(self.read(spark), meta=meta)
 
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Drop all but the last ``keep_last`` snapshots reachable from the
@@ -213,8 +242,12 @@ class SnapshotTable:
         keep_ids: list[int] = []
         sid = self.current_snapshot_id()
         while sid is not None and len(keep_ids) < keep_last:
+            try:
+                parent = self._manifest(sid).get("parent")
+            except FileNotFoundError:
+                break  # chain already expired past here (dangling parent)
             keep_ids.append(sid)
-            sid = self._manifest(sid).get("parent")
+            sid = parent
         keep_dirs: set[str] = set()
         for k in keep_ids:
             keep_dirs.update(self._manifest(k)["files"])
@@ -307,6 +340,11 @@ class SnapshotTable:
                     f"empty incremental read of {self.path} needs an explicit schema"
                 )
             return spark.createDataFrame([], schema)
+        if since_snapshot_id is None:
+            # from-the-beginning == everything visible now; the current
+            # manifest's cumulative file list answers that directly, even
+            # when older manifests have been expired (no chain walk)
+            return self.read(spark, schema=schema)
         new_dirs: list[str] = []
         sid = current
         while sid is not None and sid != since_snapshot_id:
@@ -318,16 +356,13 @@ class SnapshotTable:
                     f"{since_snapshot_id}; incremental read must restart"
                 ) from None
             if m["op"] == "overwrite":
-                if since_snapshot_id is not None:
-                    raise ValueError(
-                        f"snapshot {sid} overwrote {self.path}; incremental "
-                        f"read since {since_snapshot_id} is not append-only"
-                    )
-                new_dirs.append(m["files"][-1])
-                break  # an overwrite's dir holds the full table at that point
+                raise ValueError(
+                    f"snapshot {sid} overwrote {self.path}; incremental "
+                    f"read since {since_snapshot_id} is not append-only"
+                )
             new_dirs.append(m["files"][-1])
             sid = m.get("parent")
-        if since_snapshot_id is not None and sid != since_snapshot_id:
+        if sid != since_snapshot_id:
             raise ValueError(
                 f"snapshot {since_snapshot_id} is not an ancestor of the "
                 f"current snapshot of {self.path} (rolled back?)"
