@@ -30,16 +30,20 @@ def fixture_dir(tmp_path_factory):
     return d
 
 
-def _new_run(spark, fixture_dir, run_dir):
-    run = CrawlRun(
+def _raw_run(spark, fixture_dir, run_dir, **cfg):
+    return CrawlRun(
         spark,
         run_dir,
         urls=load_fixture(spark, fixture_dir, "urls"),
         links=load_fixture(spark, fixture_dir, "links"),
         pages=load_fixture(spark, fixture_dir, "pages"),
         robots=load_fixture(spark, fixture_dir, "robots"),
-        config=CrawlConfig(default_host_budget=3, max_rounds=10),
+        config=CrawlConfig(default_host_budget=3, max_rounds=10, **cfg),
     )
+
+
+def _new_run(spark, fixture_dir, run_dir, **cfg):
+    run = _raw_run(spark, fixture_dir, run_dir, **cfg)
     run.start(read_seeds(spark, f"{fixture_dir}/seeds.csv"))
     return run
 
@@ -115,6 +119,67 @@ def test_streamed_rounds_byte_identical_to_batch_loop(
         .count()
     )
     assert dupes == 0
+
+
+def test_stream_restart_with_clean_checkpoint_resumes_round_counter(
+    spark, fixture_dir, tmp_path_factory
+):
+    """ADVICE r2 #2: a process restart hands the stream a brand-new CrawlRun
+    (round=0, tiers=None) over a CLEAN checkpoint — no table is dirty, so
+    the old code never resumed, renumbered rounds from 1 (duplicate round
+    values in metrics/fetch_log) and re-checkpointed tiers_file=None,
+    discarding the bloom-tier state. The restarted stream must instead
+    adopt the on-disk round counter and tiers before its first round."""
+    run_dir = str(tmp_path_factory.mktemp("restart-run"))
+    tmp = tmp_path_factory.mktemp("restart-aux")
+    ticks = tmp / "ticks"
+    ticks.mkdir()
+    run = _new_run(spark, fixture_dir, run_dir, use_bloom=True)
+    for i in range(2):
+        (ticks / f"t{i}.csv").write_text(f"{i}\n")
+    q = crawl_round_stream(spark, run, str(ticks), str(tmp / "ckpt"))
+    q.awaitTermination(300)
+    assert run.round == 2
+    assert run.checkpoint_state()["tiers_file"] is not None
+
+    # "process restart": fresh CrawlRun object, same run_dir + stream ckpt;
+    # tables are exactly at the checkpoint (nothing dirty)
+    run2 = _raw_run(spark, fixture_dir, run_dir, use_bloom=True)
+    assert run2.round == 0 and run2.tiers is None
+    assert not run2.dirty_vs_checkpoint()
+    (ticks / "t2.csv").write_text("2\n")
+    q2 = crawl_round_stream(spark, run2, str(ticks), str(tmp / "ckpt"))
+    q2.awaitTermination(300)
+    # the new round continued the numbering and the tier state survived
+    assert run2.round == 3
+    assert run2.tiers is not None
+    assert run2.checkpoint_state()["tiers_file"] is not None
+    m = run2.metrics_t.read(spark, schema=METRICS).select("round").collect()
+    assert sorted(r["round"] for r in m) == [1, 2, 3]  # no renumbering
+
+
+def test_batch_round_preserves_stream_marker(spark, fixture_dir, tmp_path_factory):
+    """ADVICE r2 #3: driving a round WITHOUT checkpoint_extra (plain batch
+    call) must not drop a previously persisted stream_batch_id — otherwise
+    a later stream restart sees marker=-1 and re-executes an applied
+    micro-batch. A fresh start() in the same run_dir DOES reset it (new
+    crawl, new marker history)."""
+    run_dir = str(tmp_path_factory.mktemp("mixed-run"))
+    tmp = tmp_path_factory.mktemp("mixed-aux")
+    ticks = tmp / "ticks"
+    ticks.mkdir()
+    run = _new_run(spark, fixture_dir, run_dir)
+    (ticks / "t0.csv").write_text("0\n")
+    q = crawl_round_stream(spark, run, str(ticks), str(tmp / "ckpt"))
+    q.awaitTermination(300)
+    assert run.checkpoint_state()["stream_batch_id"] == 0
+    run.run_round()  # batch driving in between
+    assert run.checkpoint_state()["stream_batch_id"] == 0  # marker survives
+    run.maintain(keep_last=4)
+    assert run.checkpoint_state()["stream_batch_id"] == 0
+    # a brand-new crawl in the same run_dir starts a new marker history
+    run.start(read_seeds(spark, f"{fixture_dir}/seeds.csv"))
+    assert "stream_batch_id" not in run.checkpoint_state()
 
 
 def test_gated_candidate_ingest_bounds_frontier_per_host(spark, tmp_path):

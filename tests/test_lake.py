@@ -69,6 +69,30 @@ def test_applied_meta_follows_parent_chain(spark, tmp_path):
     assert t.applied_meta("ingest_batch_id") == {0}
 
 
+def test_applied_meta_cache_not_reused_across_expired_rollback(spark, tmp_path):
+    """ADVICE r2 #1: a long-lived second handle cached its marker set at a
+    snapshot that a rollback later abandoned and expire_snapshots erased.
+    Its next walk breaks at the expired manifest — it must NOT union the
+    cached set (those markers belong to discarded rows; reusing them would
+    skip replayed batches that were never applied)."""
+    a = SnapshotTable(str(tmp_path / "t"))
+    b = SnapshotTable(str(tmp_path / "t"))  # e.g. the ingest stream's handle
+    s1 = a.overwrite(_mk(spark, 0, 3), meta={"ingest_batch_id": 0})
+    a.append(_mk(spark, 3, 6), meta={"ingest_batch_id": 1})
+    assert b.applied_meta("ingest_batch_id") == {0, 1}  # b caches here
+    a.rollback(s1)  # batch 1's rows are discarded
+    a.append(_mk(spark, 6, 9), meta={"ingest_batch_id": 2})  # new branch
+    a.expire_snapshots(keep_last=1)  # erases s1 + the abandoned s2 manifest
+    # b's walk breaks at the expired parent: only the reachable chain counts
+    # — batch 1 (rolled back) and batch 0 (expired with its manifest) must
+    # both be absent so their batches re-apply
+    assert b.applied_meta("ingest_batch_id") == {2}
+    # the partial set was not cached; a repeat call recomputes identically
+    assert b.applied_meta("ingest_batch_id") == {2}
+    # and a FRESH walk with no cache agrees (ground truth)
+    assert SnapshotTable(str(tmp_path / "t")).applied_meta("ingest_batch_id") == {2}
+
+
 def test_idempotent_admit_atomic_with_commit(spark, tmp_path):
     """Applying the same micro-batch twice appends once; the marker is the
     commit's own metadata (no separate file, no crash window)."""

@@ -1460,7 +1460,25 @@ _DEMO_ROUNDS = 4
 EXPECTED_FETCH_LOG = _os.path.join(ORACLE_EXPECTED_DIR, "crawl_fetch_log.parquet")
 EXPECTED_METRICS = _os.path.join(ORACLE_EXPECTED_DIR, "crawl_metrics.parquet")
 EXPECTED_LINEAGE = _os.path.join(ORACLE_EXPECTED_DIR, "crawl_lineage.parquet")
-EXPECTED_BLOOM = _os.path.join(ORACLE_EXPECTED_DIR, "bloom_prefilter_stats.parquet")
+
+# The driver's oracle-vs-Spark compare runs at this scale (TESTDATA.md);
+# static SQL strings must bake in a concrete expected-file path, so they
+# bake in this one. Bench/test runs at OTHER sf_dirs get their own files.
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _expected_bloom_path(sf_dir: str) -> str:
+    """Bloom expected-output path KEYED BY sf_dir (ADVICE r2 #4): the file's
+    contents derive from ``{sf_dir}/orders.parquet``, so a shared fixed path
+    could leave a stale file from another scale on disk (bench at sf0.1 vs
+    the driver gate at sf0.01) and make the parity compare spuriously pass
+    or fail. One deterministic file per sf_dir removes the aliasing; the
+    contents are a pure function of the path, so existence == freshness."""
+    slug = sf_dir.strip("/").replace("/", "-")
+    return _os.path.join(ORACLE_EXPECTED_DIR, f"bloom_prefilter_stats-{slug}.parquet")
+
+
+EXPECTED_BLOOM = _expected_bloom_path(ORACLE_SF_DIR)
 
 
 def _demo_fixture_dir() -> str:
@@ -1580,7 +1598,15 @@ def _ensure_bloom_expected(sf_dir: str) -> None:
     from ..functions.hashing import xxh64
     from ..operators.bloom import PartitionedBloom
 
-    if _FIXTURE_CACHE.get("bloom_expected_for") == sf_dir:
+    out_path = _expected_bloom_path(sf_dir)
+    # per-sf_dir file, deterministic contents: on-disk presence is the
+    # cross-process freshness stamp; the dict is just a same-process shortcut
+    if _FIXTURE_CACHE.get("bloom_expected_for") == sf_dir and _os.path.exists(
+        out_path
+    ):
+        return
+    if _os.path.exists(out_path):
+        _FIXTURE_CACHE["bloom_expected_for"] = sf_dir
         return
     if not _os.path.exists(f"{sf_dir}/orders.parquet"):
         return  # pre-materialization with a guessed sf_dir: the query
@@ -1603,14 +1629,14 @@ def _ensure_bloom_expected(sf_dir: str) -> None:
         {"maybe_seen": [False, True], "n": [int((~hits).sum()), int(hits.sum())]}
     )
     _write_expected(
-        EXPECTED_BLOOM,
+        out_path,
         pdf[pdf["n"] > 0].reset_index(drop=True),
         pa.schema([("maybe_seen", pa.bool_()), ("n", pa.int64())]),
     )
     _FIXTURE_CACHE["bloom_expected_for"] = sf_dir
 
 
-def ensure_expected_outputs(sf_dir: str = "/root/testdata/sf0.01") -> None:
+def ensure_expected_outputs(sf_dir: str = ORACLE_SF_DIR) -> None:
     """Materialize every oracle-side expected parquet (pure Python). Called
     from ``__spark_entry__.oracle_sql()`` so the DuckDB SQL can run no
     matter whether the driver executes SQL before or after the Spark side."""

@@ -174,7 +174,9 @@ class CrawlRun:
                     flush_every=self.config.flush_every,
                 )
         self.round = 0
-        self._checkpoint()
+        # a fresh start must NOT inherit markers (stream_batch_id, …) from a
+        # previous crawl that used the same run_dir — this is a new history
+        self._checkpoint(fresh=True)
 
     # ------------------------------------------------------------------
     # one scheduling round
@@ -574,8 +576,22 @@ class CrawlRun:
             for attr, key in self._TABLE_SIDS
         )
 
-    def _checkpoint(self, extra: dict | None = None) -> None:
+    def _checkpoint(self, extra: dict | None = None, fresh: bool = False) -> None:
+        # Start from the ON-DISK checkpoint so keys persisted by other
+        # drivers (e.g. the stream's stream_batch_id marker) survive rounds
+        # that don't pass checkpoint_extra — mixing batch and stream driving
+        # must not silently reset the exactly-once marker to -1 and replay
+        # an already-applied micro-batch (ADVICE r2 #3). Fresh keys override.
+        # ``fresh=True`` (start()) deliberately drops prior keys instead: a
+        # new crawl in a reused run_dir begins a new marker history.
+        prior: dict = {}
+        if not fresh:
+            try:
+                prior = self.checkpoint_state()
+            except FileNotFoundError:
+                prior = {}
         state = {
+            **prior,
             **(extra or {}),
             "round": self.round,
             "frontier_sid": self.frontier_t.current_snapshot_id(),

@@ -173,16 +173,30 @@ class SnapshotTable:
         the cached set was computed at, so a long-lived ingest stream pays
         O(new commits) per call, not O(all commits). A rollback that removes
         the cached snapshot from the chain simply makes the walk reach the
-        root and rebuild the exact set from scratch."""
+        root and rebuild the exact set from scratch.
+
+        Cache reuse requires the walk to TERMINATE AT the cached snapshot:
+        a walk that instead broke at an expired manifest (rollback abandoned
+        the cached snapshot, then ``expire_snapshots`` deleted its chain)
+        must NOT union the cached set — those markers belong to commits
+        whose rows were discarded, and reusing them would make replayed
+        batches skip rows that were never applied (ADVICE r2 #1). In that
+        case the reachable chain + carried_meta alone is the truth, and the
+        partial result is not cached (the chain may still be mid-expiry)."""
         cached_sid, cached = self._meta_cache.get(key, (None, None))
         out: set = set()
         current = self.current_snapshot_id()
         sid = current
+        broke_at_expired = False
         while sid is not None and sid != cached_sid:
             try:
                 m = self._manifest(sid)
             except FileNotFoundError:
-                break  # ancestor expired: its meta is gone with its data
+                # ancestor expired: its meta is gone with its data — and the
+                # cached snapshot (if any) was NOT reached, so its set does
+                # not describe this chain
+                broke_at_expired = True
+                break
             meta = m.get("meta") or {}
             if key in meta:
                 out.add(meta[key])
@@ -190,9 +204,15 @@ class SnapshotTable:
             if key in carried:
                 out.update(carried[key])  # markers preserved across compaction
             sid = m.get("parent")
-        if sid is not None and cached is not None:
+        reached_cached = (
+            not broke_at_expired and sid is not None and sid == cached_sid
+        )
+        if reached_cached and cached is not None:
             out |= cached  # stopped at the cached snapshot: reuse its set
-        self._meta_cache[key] = (current, frozenset(out))
+        if broke_at_expired:
+            self._meta_cache.pop(key, None)
+        else:
+            self._meta_cache[key] = (current, frozenset(out))
         return out
 
     def compact(self, spark: SparkSession) -> int:

@@ -60,10 +60,25 @@ def crawl_round_stream(
     """
 
     def body(_df, batch_id: int) -> None:
-        if batch_id <= run.checkpoint_state().get("stream_batch_id", -1):
-            return  # round fully committed before the crash → skip replay
-        if run.dirty_vs_checkpoint():
-            run.resume()  # discard the crashed attempt's partial commits
+        state = run.checkpoint_state()
+        if batch_id <= state.get("stream_batch_id", -1):
+            # round fully committed before the crash → skip replay. The
+            # freshly restarted process may still hold a brand-new CrawlRun
+            # (round=0, tiers=None): adopt the on-disk state NOW so the next
+            # non-replayed batch continues the round numbering and tier
+            # state instead of restarting from round 1 (ADVICE r2 #2).
+            if run.round != state.get("round", 0):
+                run.resume()
+            return
+        if run.dirty_vs_checkpoint() or run.round != state.get("round", 0):
+            # dirty: discard the crashed attempt's partial commits.
+            # round mismatch with CLEAN tables: a process restart after a
+            # fully-committed round but before the stream offset commit —
+            # the tables need no rollback, but this CrawlRun object must
+            # adopt the checkpoint's round counter and tiers_file or it
+            # would renumber rounds from 1 and checkpoint tiers_file=None,
+            # discarding the bloom-tier state (ADVICE r2 #2).
+            run.resume()
         run.run_round(checkpoint_extra={"stream_batch_id": batch_id})
 
     src = (
