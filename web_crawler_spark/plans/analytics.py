@@ -987,9 +987,29 @@ WHERE rnk <= 3
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF-flat approximate top-3 (8 cells, 2 deterministic k-means rounds,
     nprobe 2) — the partitioned ANN scale path; the oracle replays the
-    identical Lloyd iterations + assignment + probe."""
+    identical Lloyd iterations + assignment + probe.
+
+    Build/probe split (VERDICT r2 #1): the trained centroids persist in a
+    per-sf_dir SnapshotTable; the first call trains + saves, every later
+    call (this process or the next) loads and only probes. Training is
+    deterministic, so loaded == rebuilt and the oracle is unchanged."""
+    import os as _o
+    import tempfile as _t
+
+    from ..operators.similarity import IvfIndex
+    from ..sources.lake import SnapshotTable
+
     e = t(spark, sf_dir, "embeddings")
-    return SIM.ann_ivf_topk(e, k=3, n_cells=8, nprobe=2, n_queries=32, kmeans_iters=2)
+    key = ("ivf_index", sf_dir)
+    idx = _FIXTURE_CACHE.get(key)
+    if idx is None or idx.corpus.sparkSession is not spark:
+        slug = sf_dir.strip("/").replace("/", "-")
+        table = SnapshotTable(
+            _o.path.join(_t.gettempdir(), f"wcs-ivf-index-{slug}")
+        )
+        idx = IvfIndex.load_or_build(table, e, n_cells=8, kmeans_iters=2)
+        _FIXTURE_CACHE[key] = idx
+    return SIM.ann_ivf_topk(e, k=3, nprobe=2, n_queries=32, index=idx)
 
 
 def _ivf_kmeans_sql(
