@@ -59,6 +59,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 
+def _arrow_type(dt):
+    """Spark type → arrow type for the driver-local commit path; must match
+    what Spark's own parquet writer would produce so mixed commits read
+    back with one schema."""
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    mapping = {
+        T.LongType: pa.int64(),
+        T.IntegerType: pa.int32(),
+        T.ShortType: pa.int16(),
+        T.DoubleType: pa.float64(),
+        T.FloatType: pa.float32(),
+        T.StringType: pa.string(),
+        T.BooleanType: pa.bool_(),
+        T.BinaryType: pa.binary(),
+        T.DateType: pa.date32(),
+    }
+    for spark_t, arrow_t in mapping.items():
+        if isinstance(dt, spark_t):
+            return arrow_t
+    raise TypeError(f"no arrow mapping for local commit of {dt}")
+
+
 class SnapshotTable:
     def __init__(self, path: str, stats_cols: list[str] | None = None):
         self.path = path
@@ -120,16 +145,17 @@ class SnapshotTable:
             "cols": {c: [row[f"__min_{c}"], row[f"__max_{c}"]] for c in cols},
         }
 
-    def _commit(self, df: DataFrame, op: str, meta: dict | None = None) -> int:
-        parent = self.current_snapshot_id()
-        # ids are allocated past the highest EXISTING snapshot, not parent+1:
-        # after a rollback the next commit must not overwrite the abandoned
-        # snapshot's manifest (snapshot ids are immutable; old readers keep
-        # seeing the data their id referred to)
-        new_id = self._max_snapshot_id() + 1
-        commit_dir = f"c{new_id:08d}_{uuid.uuid4().hex[:8]}"
-        abs_dir = os.path.join(self._data_dir, commit_dir)
-        df.write.mode("overwrite").parquet(abs_dir)
+    def _finish_commit(
+        self,
+        parent: int | None,
+        new_id: int,
+        commit_dir: str,
+        op: str,
+        meta: dict | None,
+        stats_entry: dict | None,
+    ) -> int:
+        """Write the manifest and swap ``_current`` — the metadata half of a
+        commit, shared by the Spark and driver-local data paths."""
         if op == "overwrite" or parent is None:
             files, stats = [], {}
         else:
@@ -137,8 +163,8 @@ class SnapshotTable:
             files = list(pm["files"])
             stats = dict(pm.get("stats", {}))
         files.append(commit_dir)
-        if self.stats_cols:
-            stats[commit_dir] = self._commit_stats(df.sparkSession, abs_dir)
+        if stats_entry is not None:
+            stats[commit_dir] = stats_entry
         manifest = {
             "id": new_id,
             "parent": parent,
@@ -158,11 +184,79 @@ class SnapshotTable:
         os.replace(tmp2, os.path.join(self.path, "_current"))
         return new_id
 
+    def _commit(self, df: DataFrame, op: str, meta: dict | None = None) -> int:
+        parent = self.current_snapshot_id()
+        # ids are allocated past the highest EXISTING snapshot, not parent+1:
+        # after a rollback the next commit must not overwrite the abandoned
+        # snapshot's manifest (snapshot ids are immutable; old readers keep
+        # seeing the data their id referred to)
+        new_id = self._max_snapshot_id() + 1
+        commit_dir = f"c{new_id:08d}_{uuid.uuid4().hex[:8]}"
+        abs_dir = os.path.join(self._data_dir, commit_dir)
+        df.write.mode("overwrite").parquet(abs_dir)
+        stats_entry = (
+            self._commit_stats(df.sparkSession, abs_dir) if self.stats_cols else None
+        )
+        return self._finish_commit(parent, new_id, commit_dir, op, meta, stats_entry)
+
+    def _commit_local(
+        self,
+        rows: list[dict],
+        schema: StructType,
+        op: str,
+        meta: dict | None = None,
+    ) -> int:
+        """Driver-side commit of a SMALL row set: pyarrow writes one parquet
+        file directly — no Spark job. Metrics/lineage appends are a handful
+        of rows per round, yet each cost a full Spark write job (task
+        scheduling + commit protocol) — a fixed ~0.4s of every round
+        (VERDICT r2 #2). The manifest/atomicity path is byte-identical to
+        ``_commit``; Spark reads the arrow-written file like any other.
+        Only for driver-resident rows — anything unbounded goes through the
+        distributed path."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        parent = self.current_snapshot_id()
+        new_id = self._max_snapshot_id() + 1
+        commit_dir = f"c{new_id:08d}_{uuid.uuid4().hex[:8]}"
+        abs_dir = os.path.join(self._data_dir, commit_dir)
+        os.makedirs(abs_dir, exist_ok=True)
+        arrow_schema = pa.schema(
+            [(f.name, _arrow_type(f.dataType)) for f in schema.fields]
+        )
+        table = pa.Table.from_pylist(
+            [{f.name: r[f.name] for f in schema.fields} for r in rows],
+            schema=arrow_schema,
+        )
+        tmp = os.path.join(abs_dir, f".tmp-{uuid.uuid4().hex}")
+        pq.write_table(table, tmp)
+        os.replace(tmp, os.path.join(abs_dir, "part-00000.parquet"))
+        stats_entry = None
+        if self.stats_cols:
+            cols = {}
+            for c in self.stats_cols:
+                if c in {f.name for f in schema.fields}:
+                    vals = [r[c] for r in rows if r[c] is not None]
+                    cols[c] = [min(vals), max(vals)] if vals else [None, None]
+            stats_entry = {"n_rows": len(rows), "cols": cols}
+        return self._finish_commit(parent, new_id, commit_dir, op, meta, stats_entry)
+
     def append(self, df: DataFrame, meta: dict | None = None) -> int:
         return self._commit(df, "append", meta=meta)
 
     def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
         return self._commit(df, "overwrite", meta=meta)
+
+    def append_local(
+        self, rows: list[dict], schema: StructType, meta: dict | None = None
+    ) -> int:
+        return self._commit_local(rows, schema, "append", meta=meta)
+
+    def overwrite_local(
+        self, rows: list[dict], schema: StructType, meta: dict | None = None
+    ) -> int:
+        return self._commit_local(rows, schema, "overwrite", meta=meta)
 
     def applied_meta(self, key: str) -> set:
         """All ``meta[key]`` values along the CURRENT snapshot's parent chain
