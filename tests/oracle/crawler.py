@@ -38,6 +38,7 @@ from web_crawler_spark.functions.urls import (
     py_is_valid_url,
 )
 from web_crawler_spark.operators.faults import (
+    DEPTH_PRIORITY_STEP,
     MAX_ATTEMPTS,
     py_discovered_priority,
     py_is_transient_fault,
@@ -70,6 +71,9 @@ class OracleCrawler:
     max_attempts: int = MAX_ATTEMPTS
     exclude_anchors: bool = True
     follow_links: bool = True
+    priority_source: str = "depth"  # 'depth' | 'pagerank' (engine twin)
+    pagerank_iters: int = 3
+    _ranks: dict[int, int] | None = None
 
     frontier: list[FrontierRow] = field(default_factory=list)
     seen: dict[int, str] = field(default_factory=dict)  # url_hash -> url
@@ -244,15 +248,56 @@ class OracleCrawler:
         )
         return rec
 
+    def _pagerank_ranks(self) -> dict[int, int]:
+        """Integer PageRank twin of operators/graph.py: identical edge
+        derivation (skip-list → canonicalize → validity), RANK_SCALE init,
+        (1−d) base + d·Σ contrib with integer floor divisions — the ranks
+        are bit-identical to the Spark frame by construction."""
+        if self._ranks is not None:
+            return self._ranks
+        RANK_SCALE, D_NUM, D_DEN = 1_000_000, 85, 100
+        edges: set[tuple[int, int]] = set()
+        for src_url, lst in self.links.items():
+            for link in lst:
+                if py_is_skippable(link["href"]):
+                    continue
+                child = py_canonicalize(
+                    link["href"], src_url, strip_fragment=self.exclude_anchors
+                )
+                if child is None or not py_is_valid_url(child):
+                    continue
+                edges.add((xxh64_str(src_url), xxh64_str(child)))
+        nodes = {u for u, _ in edges} | {v for _, v in edges}
+        out: dict[int, int] = {}
+        for u, _ in edges:
+            out[u] = out.get(u, 0) + 1
+        base = (RANK_SCALE * (D_DEN - D_NUM)) // D_DEN
+        rank = {n: RANK_SCALE for n in nodes}
+        for _ in range(self.pagerank_iters):
+            s: dict[int, int] = {}
+            for u, v in edges:
+                s[v] = s.get(v, 0) + rank[u] // out[u]
+            rank = {n: base + (D_NUM * s.get(n, 0)) // D_DEN for n in nodes}
+        self._ranks = rank
+        return rank
+
     def run_round(self) -> dict:
         rnd = self.round + 1
         rows_in = len(self.frontier)
         frontier_at_start = list(self.frontier)
 
-        # depth-aware priority recompute (engine does the same at round start)
+        # depth-aware priority recompute (engine does the same at round
+        # start); pagerank mode blends the rank bonus inside the depth band
         for r in self.frontier:
             if r.depth > 0:
-                r.priority = py_discovered_priority(r.depth)
+                if self.priority_source == "pagerank":
+                    bonus = min(
+                        self._pagerank_ranks().get(r.url_hash, 0),
+                        DEPTH_PRIORITY_STEP - 1,
+                    )
+                    r.priority = py_discovered_priority(r.depth) + float(bonus)
+                else:
+                    r.priority = py_discovered_priority(r.depth)
 
         # first-wins best-discovery dedupe per url_hash
         best: dict[int, FrontierRow] = {}

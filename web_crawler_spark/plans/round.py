@@ -63,6 +63,11 @@ class CrawlConfig:
     bloom_partitions: int = 16
     hot_buckets: int = 1 << 12
     flush_every: int = 4
+    # frontier priority for discovered rows: 'depth' (reference band order)
+    # or 'pagerank' — link-graph rank blended INTO the depth band
+    # (operators/graph.py; integer-exact, oracle-replayed)
+    priority_source: str = "depth"
+    pagerank_iters: int = 3
     # False (default): DistributedSeenTiers — hot tier derived from the seen
     # table, Bloom flushes via distributed build_from, zero per-key driver
     # state. True: legacy driver-sized cuckoo hot tier (SeenTiers).
@@ -103,6 +108,7 @@ class CrawlRun:
         self.phash_seen_t = SnapshotTable(os.path.join(run_dir, "phash_seen"))
         self.round = 0
         self.tiers: SeenTiers | DistributedSeenTiers | None = None
+        self._rank_df: DataFrame | None = None
 
     # ------------------------------------------------------------------
     # admission (reference: routes.py:108-241 + tasks.py:488-504)
@@ -293,6 +299,35 @@ class CrawlRun:
             F.col("src_url").alias("parent_url"),
         )
 
+    def _pagerank_scores(self) -> DataFrame:
+        """(url_hash, rank_int) over the link graph, computed once per run
+        (production: a periodic offline job refreshing a rank table). The
+        edge derivation applies EXACTLY the discovery rules (_discover):
+        skip-list before canonicalization, fragment stripping per config,
+        validity filter — so ranked nodes are the URLs the crawl can reach,
+        and the pure-Python oracle derives the identical integer ranks."""
+        if self._rank_df is None:
+            from ..operators.graph import pagerank
+
+            kept = self.links.filter(~U.is_skippable_href(F.col("href")))
+            canon = kept.withColumn(
+                "child_url",
+                U.canonicalize(
+                    F.col("href"), F.col("src_url"),
+                    strip_fragment=self.config.exclude_anchors,
+                ),
+            ).filter(U.is_valid_url(F.col("child_url")))
+            edges = canon.select(
+                U.url_hash(F.col("src_url")).alias("src"),
+                U.url_hash(F.col("child_url")).alias("dst"),
+            )
+            self._rank_df = (
+                pagerank(edges, iters=self.config.pagerank_iters)
+                .select(F.col("node").alias("url_hash"), "rank_int")
+                .localCheckpoint(eager=True)
+            )
+        return self._rank_df
+
     def run_round(self, checkpoint_extra: dict | None = None) -> dict:
         """Execute one round; returns the metrics dict (rows_selected == 0 and
         rows_in == 0 means the crawl is complete). ``checkpoint_extra`` is
@@ -304,13 +339,36 @@ class CrawlRun:
         rnd = self.round + 1
         frontier = self.frontier_t.read(self.spark, schema=FRONTIER)
 
-        # depth-aware priority: rows discovered later carry their own depth
-        frontier = frontier.withColumn(
-            "priority",
-            F.when(
-                F.col("depth") > 0, faults.discovered_priority(F.col("depth"))
-            ).otherwise(F.col("priority")),
-        )
+        # depth-aware priority: rows discovered later carry their own depth.
+        # In pagerank mode (VERDICT r2 #6) the link-graph rank is blended
+        # INTO the depth band: priority = −STEP·depth + min(rank_int,
+        # STEP−1), so depth ordering still dominates (band invariant) while
+        # well-linked pages schedule first within their band. Seeds (depth
+        # 0) keep strict FIFO — the reference's bulk-order contract.
+        if cfg.priority_source == "pagerank":
+            ranks = self._pagerank_scores()
+            bonus = F.least(
+                F.coalesce(F.col("rank_int"), F.lit(0).cast("long")),
+                F.lit(faults.DEPTH_PRIORITY_STEP - 1).cast("long"),
+            ).cast("double")
+            frontier = (
+                frontier.join(ranks, "url_hash", "left")
+                .withColumn(
+                    "priority",
+                    F.when(
+                        F.col("depth") > 0,
+                        faults.discovered_priority(F.col("depth")) + bonus,
+                    ).otherwise(F.col("priority")),
+                )
+                .drop("rank_int")
+            )
+        else:
+            frontier = frontier.withColumn(
+                "priority",
+                F.when(
+                    F.col("depth") > 0, faults.discovered_priority(F.col("depth"))
+                ).otherwise(F.col("priority")),
+            )
 
         # persist the stage frames so the per-round counters don't recompute
         # the dedupe window / probe / robots lineage once per count() action
