@@ -1754,6 +1754,76 @@ SELECT * FROM read_parquet('{EXPECTED_LINEAGE}')
 """
 
 
+_JOBSTORE_DIR = _os.path.join(_tempfile.gettempdir(), "wcs-jobstore-fixture-r3")
+
+
+def _jobstore_fixture(spark):
+    """Deterministic SavedJobStore CRUD history (fixed ids + logical
+    timestamps → byte-identical log every build). Built in a scratch dir
+    and atomically renamed into place, so concurrent builders cannot
+    interleave appends into one log."""
+    import shutil
+    import uuid as _uuid
+
+    from ..sources.jobstore import SavedJobStore
+
+    if not _os.path.exists(_JOBSTORE_DIR):
+        scratch = _JOBSTORE_DIR + f".build-{_uuid.uuid4().hex}"
+        s = SavedJobStore(spark, _os.path.join(scratch, "jobs"))
+        s.create(
+            name="Shop crawl",
+            config={"mode": "content", "formats": ["txt", "md"]},
+            description="catalog",
+            saved_job_id="job-a",
+            now_ms=1000,
+        )
+        s.create(
+            name="News crawl", config={"mode": "links"},
+            saved_job_id="job-b", now_ms=2000,
+        )
+        s.create(name="Temp", config={}, saved_job_id="job-c", now_ms=3000)
+        s.update(
+            "job-a",
+            {"config": {"mode": "content", "formats": ["txt"]},
+             "description": "catalog v2"},
+            now_ms=4000,
+        )
+        s.rename("job-b", "News crawl v2", now_ms=5000)
+        s.delete("job-c", now_ms=6000)
+        try:
+            _os.rename(scratch, _JOBSTORE_DIR)
+        except OSError:
+            shutil.rmtree(scratch, ignore_errors=True)  # lost the race: reuse
+    return SavedJobStore(spark, _os.path.join(_JOBSTORE_DIR, "jobs"))
+
+
+def q_saved_jobs_crud(spark, sf_dir):
+    """SavedJobStore resolved view after a create/update/rename/delete
+    history (reference models.py:304-390 — J2's named-config surface):
+    latest version per id wins, tombstones drop. Oracle: DuckDB replays the
+    latest-wins window over the same mutation log parquet."""
+    s = _jobstore_fixture(spark)
+    return s.current().select(
+        "saved_job_id", "name", "description", "config_json",
+        "created_at_ms", "updated_at_ms", "version",
+    )
+
+
+SQL_SAVED_JOBS_CRUD = f"""
+WITH log AS (
+  SELECT * FROM read_parquet('{_JOBSTORE_DIR}/jobs/data/*/*.parquet')
+),
+latest AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY saved_job_id
+                               ORDER BY version DESC) AS rn
+  FROM log
+)
+SELECT saved_job_id, name, description, config_json,
+       created_at_ms, updated_at_ms, version
+FROM latest WHERE rn = 1 AND NOT deleted
+"""
+
+
 def q_bloom_prefilter_stats(spark, sf_dir):
     """D4 scale tier: partitioned-Bloom membership prefilter. Build over the
     orders keyspace (distributed applyInPandas blob build), probe a
@@ -1838,6 +1908,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "scoped_extract": (q_scoped_extract, SQL_SCOPED_EXTRACT),
     "robots_parse": (q_robots_parse, SQL_ROBOTS_PARSE),
     "link_pagerank": (q_link_pagerank, SQL_LINK_PAGERANK),
+    "saved_jobs_crud": (q_saved_jobs_crud, SQL_SAVED_JOBS_CRUD),
     # crawl engine + membership tiers, checked against the independent
     # pure-Python oracle crawler / numpy bloom twin (read_parquet oracles)
     "crawl_fetch_log": (q_crawl_fetch_log, SQL_CRAWL_FETCH_LOG),
