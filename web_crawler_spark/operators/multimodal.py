@@ -8,11 +8,15 @@ feature-extract / resize / frame-sample run as Arrow-batched functions over
 the executor, Arrow batches bound memory, the decode stage is a narrow map).
 
 Decode reality in this sandbox: the deterministic WCSI codec
-(functions/images.py) stands in for PNG/JPEG/WebP; real-codec decode is
-STUBBED behind ``NotImplementedError`` (PIL/ffmpeg are not in the container).
-The Spark-side plumbing — schemas, batch shapes, UDF signatures, partition
-strategy — is real and tested; swapping in a real codec touches only
-``_decode_blob``.
+(functions/images.py) always decodes. Real containers (PNG/JPEG/WebP) are
+decoded through PIL **when it is importable at worker start** (probed once
+per process, VERDICT r2 #5); video frame extraction similarly probes for an
+``ffmpeg`` binary. Without the library the real-container path stays an
+explicit ``NotImplementedError`` stub that the callers convert to
+error-as-data rows — the Spark-side plumbing (schemas, batch shapes, UDF
+signatures, partition strategy) is identical either way and fully tested on
+WCSI; PIL-present tests are ``skipif``-gated and also exercised against an
+injected fake codec so the dispatch path is covered in this container.
 
 Synthetic video layout: length-prefixed concatenation of WCSI frames
 (4-byte little-endian frame length, then the frame blob), so frame
@@ -90,15 +94,62 @@ def media_meta(df: DataFrame, *, bytes_col: str = "bytes") -> DataFrame:
     )
 
 
+_UNSET = object()
+_PIL_IMAGE = _UNSET
+_FFMPEG = _UNSET
+
+
+def _pil_image_module():
+    """PIL.Image, probed once per process (worker start); None when absent.
+    Tests can force a re-probe via ``_reset_codec_probes``."""
+    global _PIL_IMAGE
+    if _PIL_IMAGE is _UNSET:
+        try:
+            from PIL import Image as _img  # optional, not in this container
+
+            _PIL_IMAGE = _img
+        except ImportError:
+            _PIL_IMAGE = None
+    return _PIL_IMAGE
+
+
+def ffmpeg_path() -> str | None:
+    """Path to an ffmpeg binary, probed once per process; None when absent.
+    Real-container video decode dispatches through this the same way image
+    decode dispatches through PIL."""
+    global _FFMPEG
+    if _FFMPEG is _UNSET:
+        import shutil
+
+        _FFMPEG = shutil.which("ffmpeg")
+    return _FFMPEG
+
+
+def _reset_codec_probes() -> None:
+    global _PIL_IMAGE, _FFMPEG
+    _PIL_IMAGE = _UNSET
+    _FFMPEG = _UNSET
+
+
 def _decode_blob(blob: bytes) -> np.ndarray:
     """Decode one media blob to (h, w, 3) uint8 pixels.
 
-    WCSI decodes deterministically; real containers need a codec library
-    that is absent in this sandbox → explicit stub (the caller converts the
+    WCSI decodes deterministically with the in-repo codec. Real containers
+    go through PIL when present (runtime-optional — probed per worker
+    process); without it they are an explicit stub (the caller converts the
     error to an error-taxonomy row, never an exception escaping the UDF).
     """
     if blob[:4] == b"WCSI":
         return I.decode_image(blob)
+    pil = _pil_image_module()
+    if pil is not None:
+        import io
+
+        img = pil.open(io.BytesIO(blob)).convert("RGB")
+        px = np.asarray(img, dtype=np.uint8)
+        if px.ndim != 3 or px.shape[2] != 3:
+            raise ValueError(f"unexpected decoded shape {px.shape}")
+        return px
     raise NotImplementedError(
         "real-codec decode (PNG/JPEG/WebP) requires PIL; not available here"
     )
@@ -183,6 +234,53 @@ def unpack_frames(blob: bytes) -> list[bytes]:
         out.append(blob[i + 4 : i + 4 + n])
         i += 4 + n
     return out
+
+
+def decode_video_frames(blob: bytes, every: int = 1) -> list[np.ndarray]:
+    """Pixel frames of one video blob (driver/worker-side helper).
+
+    Packed-WCSI streams decode in-process (byte slicing + WCSI codec). Real
+    containers (mp4/webm/…) dispatch to an ``ffmpeg`` binary when the
+    worker has one (probed once per process, like PIL for images):
+    rawvideo rgb24 over a pipe, reshaped per the probe's frame geometry.
+    Without ffmpeg the real-container path is an explicit stub.
+    """
+    if len(blob) >= 8 and blob[4:8] == b"WCSI":
+        return [
+            I.decode_image(fr)
+            for j, fr in enumerate(unpack_frames(blob))
+            if j % every == 0
+        ]
+    ff = ffmpeg_path()
+    if ff is None:
+        raise NotImplementedError(
+            "real-container video decode requires ffmpeg; not available here"
+        )
+    import json as _json
+    import subprocess
+
+    probe = subprocess.run(
+        [
+            ff.replace("ffmpeg", "ffprobe"), "-v", "error", "-select_streams",
+            "v:0", "-show_entries", "stream=width,height", "-of", "json", "-",
+        ],
+        input=blob, capture_output=True, check=True,
+    )
+    geom = _json.loads(probe.stdout)["streams"][0]
+    w, h = int(geom["width"]), int(geom["height"])
+    out = subprocess.run(
+        [
+            ff, "-v", "error", "-i", "pipe:0",
+            "-vf", f"select=not(mod(n\\,{every}))", "-vsync", "vfr",
+            "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1",
+        ],
+        input=blob, capture_output=True, check=True,
+    ).stdout
+    frame_sz = w * h * 3
+    return [
+        np.frombuffer(out[i : i + frame_sz], dtype=np.uint8).reshape(h, w, 3)
+        for i in range(0, len(out) - frame_sz + 1, frame_sz)
+    ]
 
 
 def sample_frames(
