@@ -1,17 +1,22 @@
-"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32).
+"""Benchmark harness: ALL driver-contract queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., "frontier_urls_per_sec": ...,
-   "frontier_rows": ...}
+  {"metric": ..., "value": <total best-of-N sec>, "unit": "sec",
+   "queries": {name: best sec, ...}, "queries_cold": {name: run-1 sec},
+   "sf": ..., "frontier_urls_per_sec": ..., ...}
 
-The headline set covers every operator family: the flagship scheduling
-round, skew-safe windowed selection, aggregations, joins, the dedup suite
-(exact / jaccard / minhash-LSH / simhash), text analysis, similarity search
-(brute force + LSH), and multimodal metadata. A synthetic-frontier
-throughput figure (the north metric: URLs scheduled+deduped per second,
-frontier generated via spark.range — storage-free at any scale) rides
+Comparability across rounds (VERDICT r2 #3): every query runs best-of-N
+in one JVM (N=3, or 2 when the cold run exceeds 10s) — best-of filters
+the run-to-run JVM/process noise that made round-over-round deltas
+ambiguous in r2; the cold (run-1) time is reported alongside. The whole
+registry is benched — zero excluded entries; the crawl_* entries time the
+per-process demo-crawl path cold and the table-read path warm, while the
+dedicated ``crawl_sec_per_round`` figure is the engine's per-round cost.
+A side effect updates the per-query section of BENCH.md with a
+delta-vs-previous-round column read from the latest BENCH_r{N}.json.
+
+A synthetic-frontier throughput figure (the north metric, best-of-3) rides
 along; scripts/bench_scaling.py reports it at two parallelism levels for
 the N→4N scaling-efficiency evidence.
 """
@@ -20,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -30,7 +36,9 @@ from pyspark.sql import functions as F  # noqa: E402
 from web_crawler_spark.plans.analytics import REGISTRY  # noqa: E402
 from web_crawler_spark.session import get_spark  # noqa: E402
 
-HEADLINE = [
+# display/run order: operator families first (the r1/r2 headline order, so
+# old numbers line up), then every remaining registry entry
+_R2_ORDER = [
     "frontier_schedule",
     "per_key_budget",
     "agg_success_rate",
@@ -61,6 +69,9 @@ HEADLINE = [
     "embedding_neardup_clusters",
     "media_meta",
 ]
+HEADLINE = _R2_ORDER + sorted(set(REGISTRY) - set(_R2_ORDER))
+
+SLOW_CUTOFF_SEC = 10.0  # cold runs beyond this get 1 rerun instead of 2
 
 
 def materialize(df) -> None:
@@ -167,10 +178,80 @@ def crawl_engine_bench(spark, n_pages: int = 1500, rounds: int = 3) -> dict:
     }
 
 
+def _previous_round_queries() -> tuple[int | None, dict[str, float]]:
+    """Per-query timings of the most recent BENCH_r{N}.json (delta column)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_n, best_q = None, {}
+    for fname in os.listdir(here):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", fname)
+        if not m:
+            continue
+        n = int(m.group(1))
+        try:
+            with open(os.path.join(here, fname)) as f:
+                q = json.load(f).get("parsed", {}).get("queries", {})
+        except (OSError, json.JSONDecodeError, AttributeError):
+            continue
+        if q and (best_n is None or n > best_n):
+            best_n, best_q = n, q
+    return best_n, best_q
+
+
+_MD_BEGIN = "<!-- QUERYBENCH:BEGIN -->"
+_MD_END = "<!-- QUERYBENCH:END -->"
+
+
+def _update_bench_md(
+    timings: dict[str, float], cold: dict[str, float], sf, cpus: int
+) -> None:
+    """Rewrite BENCH.md's marker-delimited per-query section (the scaling
+    section written by scripts/bench_scaling.py is left untouched)."""
+    prev_n, prev = _previous_round_queries()
+    prev_label = f"r{prev_n} (cold)" if prev_n is not None else "prev"
+    lines = [
+        _MD_BEGIN,
+        "",
+        "## Per-query timings (auto-written by bench.py)",
+        "",
+        f"All {len(timings)} registry entries at sf{sf} on local[{cpus}] —",
+        "zero exclusions. Best-of-N in one JVM (N=3; 2 when the cold run",
+        f"exceeds {SLOW_CUTOFF_SEC:.0f}s) vs the cold run-1 time; the delta",
+        f"column compares cold-vs-cold against {prev_label}, the matching",
+        "methodology (earlier rounds were single-shot cold). crawl_* query",
+        "entries time the per-process demo-crawl (cold) / table-read (warm)",
+        "path; the engine's own per-round cost is `crawl_sec_per_round` in",
+        "the JSON line.",
+        "",
+        f"| query | best s | cold s | {prev_label} s | Δ cold |",
+        "|---|---|---|---|---|",
+    ]
+    for name in HEADLINE:
+        b, c = timings[name], cold[name]
+        p = prev.get(name)
+        delta = f"{(c - p) / p * 100:+.0f}%" if p else "new"
+        p_s = f"{p:.2f}" if p else "—"
+        lines.append(f"| {name} | {b:.2f} | {c:.2f} | {p_s} | {delta} |")
+    lines += ["", _MD_END]
+    block = "\n".join(lines)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
+    try:
+        with open(path) as f:
+            md = f.read()
+    except FileNotFoundError:
+        md = "# BENCH\n"
+    if _MD_BEGIN in md and _MD_END in md:
+        pre = md.split(_MD_BEGIN)[0]
+        post = md.split(_MD_END, 1)[1]
+        md = pre + block + post
+    else:
+        md = md.rstrip() + "\n\n" + block + "\n"
+    with open(path, "w") as f:
+        f.write(md)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    import re
 
     m = re.search(r"sf([0-9.]+)/?$", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -183,23 +264,41 @@ def main():
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn, _sql = REGISTRY[name]
-        t0 = time.time()
-        materialize(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+        runs: list[float] = []
+        n_runs = 3
+        for i in range(n_runs):
+            t0 = time.time()
+            materialize(fn(spark, sf_dir))
+            runs.append(time.time() - t0)
+            if i == 0 and runs[0] > SLOW_CUTOFF_SEC:
+                n_runs = 2
+        cold[name] = round(runs[0], 3)
+        timings[name] = round(min(runs), 3)
+        print(
+            f"# {name}: best {timings[name]:.2f}s (cold {cold[name]:.2f}s, "
+            f"{len(runs)} runs)",
+            file=sys.stderr,
+        )
 
-    urls_per_sec, n_sel = frontier_throughput(spark)
+    fr_runs = [frontier_throughput(spark) for _ in range(3)]
+    urls_per_sec, n_sel = max(fr_runs, key=lambda t: t[0])
     crawl = crawl_engine_bench(spark)
     total = round(sum(timings.values()), 3)
+    _update_bench_md(timings, cold, sf, cpus)
     print(
         json.dumps(
             {
-                "metric": f"headline operator suite wall time ({len(HEADLINE)} queries)",
+                "metric": (
+                    f"operator suite wall time ({len(HEADLINE)} queries, "
+                    f"best of N)"
+                ),
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": cold,
                 "sf": sf,
                 "frontier_urls_per_sec": round(urls_per_sec),
                 "frontier_rows": 5_000_000,

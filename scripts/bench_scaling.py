@@ -125,6 +125,21 @@ Reproduce: `python scripts/bench_scaling.py`; the 10^9 shot:
 `python -c "import bench; from web_crawler_spark.session import get_spark;
 print(bench.frontier_throughput(get_spark(parallelism=32), 10**9))"`
 """
+    # preserve bench.py's marker-delimited per-query section, if present
+    try:
+        with open("/root/repo/BENCH.md") as f:
+            old = f.read()
+        if "<!-- QUERYBENCH:BEGIN -->" in old:
+            block = (
+                "<!-- QUERYBENCH:BEGIN -->"
+                + old.split("<!-- QUERYBENCH:BEGIN -->", 1)[1].split(
+                    "<!-- QUERYBENCH:END -->", 1
+                )[0]
+                + "<!-- QUERYBENCH:END -->"
+            )
+            md = md.rstrip() + "\n\n" + block + "\n"
+    except FileNotFoundError:
+        pass
     with open("/root/repo/BENCH.md", "w") as f:
         f.write(md)
     print(json.dumps(summary))
