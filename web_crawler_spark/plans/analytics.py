@@ -1318,11 +1318,11 @@ l0 AS (
            i -> struct_pack(pos := i, raw := regexp_split_to_array(body, '\\r?\\n')[i]))) AS u
   FROM bodies),
 l AS (SELECT host, u.pos AS pos,
-             regexp_replace(regexp_replace(u.raw, '#.*$', ''), '^\s+|\s+$', '', 'g') AS ln
+             regexp_replace(regexp_replace(u.raw, '#.*$', ''), '^\\s+|\\s+$', '', 'g') AS ln
       FROM l0),
 d AS (
   SELECT host, pos, ln, lower(ln) AS low,
-         regexp_replace(regexp_extract(ln, '^[^:]*:(.*)$', 1), '^\s+|\s+$', '', 'g') AS val,
+         regexp_replace(regexp_extract(ln, '^[^:]*:(.*)$', 1), '^\\s+|\\s+$', '', 'g') AS val,
          lower(ln) LIKE 'user-agent:%' AS is_ua
   FROM l),
 g0 AS (SELECT *, COALESCE(LAG(is_ua) OVER (PARTITION BY host ORDER BY pos), FALSE) AS prev_ua FROM d),
