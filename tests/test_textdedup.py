@@ -202,3 +202,60 @@ def test_connected_components_matches_union_find_on_random_graphs(spark):
             r["doc_id"]: r["cluster_id"] for r in connected_components(df).collect()
         }
         assert got == union_find(edges)
+
+
+def test_neardup_index_build_probe_split(spark, tmp_path):
+    """The NearDupIndex materializes pairs+components once; probes (pairs,
+    clusters, prune) match the direct operators bit-for-bit; a reload does
+    not rebuild; mismatched params force a rebuild."""
+    d = _docs(spark)
+    root = str(tmp_path / "ndi")
+    before = TD.INDEX_BUILDS
+    idx = TD.NearDupIndex.load_or_build(
+        d, root, id_col="doc_id", text_col="text",
+        k=5, perms=32, bands=4, threshold=0.5,
+    )
+    assert TD.INDEX_BUILDS == before + 1
+
+    direct_pairs = sorted(
+        map(
+            tuple,
+            TD.minhash_dedupe(
+                d, "doc_id", "text", k=5, perms=32, bands=4, threshold=0.5
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, idx.pairs().collect())) == direct_pairs
+    direct_clusters = sorted(
+        map(
+            tuple,
+            TD.dedup_clusters(
+                d, "doc_id", "text", k=5, perms=32, bands=4, threshold=0.5
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, idx.clusters().collect())) == direct_clusters
+    direct_prune = sorted(
+        map(
+            tuple,
+            TD.dedup_prune(
+                d, "doc_id", "text", k=5, perms=32, bands=4, threshold=0.5
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, idx.prune(d, "doc_id").collect())) == direct_prune
+
+    # reload: no rebuild, identical probes
+    idx2 = TD.NearDupIndex.load_or_build(
+        d, root, id_col="doc_id", text_col="text",
+        k=5, perms=32, bands=4, threshold=0.5,
+    )
+    assert TD.INDEX_BUILDS == before + 1
+    assert sorted(map(tuple, idx2.pairs().collect())) == direct_pairs
+
+    # different threshold → params mismatch → rebuild
+    TD.NearDupIndex.load_or_build(
+        d, root, id_col="doc_id", text_col="text",
+        k=5, perms=32, bands=4, threshold=0.8,
+    )
+    assert TD.INDEX_BUILDS == before + 2

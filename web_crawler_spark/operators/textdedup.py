@@ -381,6 +381,143 @@ def dedup_prune(
     return kept
 
 
+# test instrumentation: index builds this process (the split's contract is
+# that repeated probes do NOT re-run the shingling pipeline)
+INDEX_BUILDS = 0
+
+
+class NearDupIndex:
+    """Build/probe split for the near-dup suite (the IVF pattern applied to
+    text dedup): at 100 TB nobody recomputes shingles → signatures → LSH →
+    exact-confirm → components per query — the **confirmed pair list and the
+    component assignment ARE the index**, materialized once per corpus
+    snapshot and reused by every consumer (cluster lookup, corpus prune,
+    curation, audit queries).
+
+    - ``build``: run ``minhash_dedupe`` + ``connected_components`` once and
+      commit both results to SnapshotTables (build params in commit
+      metadata).
+    - ``load / load_or_build``: reuse when the params match; the whole
+      pipeline is deterministic (md5-derived permutation family, integer
+      thresholds), so loaded == rebuilt bit-for-bit and correctness oracles
+      are unchanged.
+    - probes: ``pairs()``, ``clusters()``, ``prune(corpus)`` — table scans
+      plus at most two doc_id joins; no shingling anywhere.
+    """
+
+    PAIRS = "doc_a long, doc_b long, n_inter long, n_union long, jaccard double"
+    CLUSTERS = "doc_id long, cluster_id long"
+
+    def __init__(self, spark, root: str, params: dict):
+        import os
+
+        from ..sources.lake import SnapshotTable
+
+        self.spark = spark
+        self.params = params
+        self.pairs_t = SnapshotTable(os.path.join(root, "pairs"))
+        self.clusters_t = SnapshotTable(os.path.join(root, "clusters"))
+
+    @staticmethod
+    def _params(id_col, text_col, k, perms, bands, threshold) -> dict:
+        return {
+            "id_col": id_col, "text_col": text_col, "k": k,
+            "perms": perms, "bands": bands,
+            "threshold_bp": int(round(threshold * 10000)),
+        }
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        root: str,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        k: int = 5,
+        perms: int = DEFAULT_PERMS,
+        bands: int = DEFAULT_BANDS,
+        threshold: float = 0.8,
+    ) -> "NearDupIndex":
+        import json
+
+        global INDEX_BUILDS
+        INDEX_BUILDS += 1
+        params = cls._params(id_col, text_col, k, perms, bands, threshold)
+        idx = cls(corpus.sparkSession, root, params)
+        pairs = minhash_dedupe(
+            corpus, id_col, text_col, k=k, perms=perms, bands=bands,
+            threshold=threshold,
+        ).localCheckpoint(eager=True)  # consumed twice: commit + components
+        meta = {"neardup_params": json.dumps(params, sort_keys=True)}
+        idx.pairs_t.overwrite(pairs, meta=meta)
+        idx.clusters_t.overwrite(
+            connected_components(pairs.select("doc_a", "doc_b")), meta=meta
+        )
+        return idx
+
+    @classmethod
+    def load(
+        cls, spark, root: str, *, id_col="doc_id", text_col="text", k=5,
+        perms=DEFAULT_PERMS, bands=DEFAULT_BANDS, threshold=0.8,
+    ) -> "NearDupIndex | None":
+        import json
+
+        params = cls._params(id_col, text_col, k, perms, bands, threshold)
+        idx = cls(spark, root, params)
+        want = json.dumps(params, sort_keys=True)
+        for t in (idx.pairs_t, idx.clusters_t):
+            sid = t.current_snapshot_id()
+            if sid is None:
+                return None
+            if (t._manifest(sid).get("meta") or {}).get("neardup_params") != want:
+                return None
+        return idx
+
+    @classmethod
+    def load_or_build(cls, corpus: DataFrame, root: str, **kw) -> "NearDupIndex":
+        idx = cls.load(corpus.sparkSession, root, **kw)
+        return idx if idx is not None else cls.build(corpus, root, **kw)
+
+    # -- probes ------------------------------------------------------------
+
+    def pairs(self) -> DataFrame:
+        from pyspark.sql.types import _parse_datatype_string
+
+        return self.pairs_t.read(
+            self.spark, schema=_parse_datatype_string(self.PAIRS)
+        )
+
+    def clusters(self) -> DataFrame:
+        from pyspark.sql.types import _parse_datatype_string
+
+        return self.clusters_t.read(
+            self.spark, schema=_parse_datatype_string(self.CLUSTERS)
+        )
+
+    def prune(self, corpus: DataFrame, id_col: str = "doc_id") -> DataFrame:
+        """``dedup_prune`` against the prebuilt components — two doc_id
+        joins, zero shingling. Output (doc_id, kept_as) as in dedup_prune."""
+        clusters = self.clusters()
+        dupes = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+            "doc_id"
+        )
+        reps = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
+            "doc_id", F.lit(True).alias("__rep")
+        )
+        return (
+            corpus.select(F.col(id_col).cast("long").alias("doc_id"))
+            .join(dupes, "doc_id", "left_anti")
+            .join(reps, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("__rep"), F.lit("representative"))
+                .otherwise(F.lit("unique"))
+                .alias("kept_as"),
+            )
+        )
+
+
 def winnow_table(
     df: DataFrame, id_col: str, text_col: str, *, k: int = 8, w: int = 4
 ) -> DataFrame:

@@ -590,15 +590,39 @@ WHERE 5 * ni >= 4 * (sa.n + sb.n - ni)
 """
 
 
+def _neardup_index(spark, sf_dir):
+    """Per-sf_dir NearDupIndex (build/probe split — the IVF pattern applied
+    to the dedup suite): the first call materializes confirmed pairs +
+    components into SnapshotTables; every later call (any process) loads.
+    The pipeline is deterministic, so loaded == rebuilt and the oracles are
+    unchanged."""
+    import os as _o
+    import tempfile as _t
+
+    from ..operators.textdedup import NearDupIndex
+
+    key = ("neardup_index", sf_dir)
+    idx = _FIXTURE_CACHE.get(key)
+    if idx is None or idx.spark is not spark:
+        slug = sf_dir.strip("/").replace("/", "-")
+        root = _o.path.join(_t.gettempdir(), f"wcs-neardup-index-{slug}")
+        idx = NearDupIndex.load_or_build(
+            t(spark, sf_dir, "documents"), root,
+            id_col="doc_id", text_col="text",
+            k=5, perms=32, bands=4, threshold=0.8,
+        )
+        _FIXTURE_CACHE[key] = idx
+    return idx
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash (32 perms, xor family) + banded LSH (4 bands × 8 rows)
-    candidates, confirmed by exact Jaccard ≥ 0.8. The oracle replays the
-    identical signature/band/verify pipeline in SQL."""
-    d = t(spark, sf_dir, "documents")
-    pairs = TD.minhash_dedupe(
-        d, "doc_id", "text", k=5, perms=32, bands=4, threshold=0.8
+    candidates, confirmed by exact Jaccard ≥ 0.8, served from the
+    NearDupIndex (built once per corpus, reused by clusters/prune). The
+    oracle replays the identical signature/band/verify pipeline in SQL."""
+    return _neardup_index(spark, sf_dir).pairs().select(
+        "doc_a", "doc_b", "n_inter", "n_union"
     )
-    return pairs.select("doc_a", "doc_b", "n_inter", "n_union")
 
 
 _BAND_HASH = MD5L.format(x="string_agg(CAST(m AS VARCHAR), ',' ORDER BY p)")
@@ -637,8 +661,7 @@ def q_dedup_clusters(spark, sf_dir):
     (doc_id, cluster_id = min reachable doc id). The oracle replays the
     identical pair pipeline and computes min-reachable via a recursive CTE
     (both equal the component minimum, independent of iteration order)."""
-    d = t(spark, sf_dir, "documents")
-    return TD.dedup_clusters(d, "doc_id", "text", k=5, perms=32, bands=4, threshold=0.8)
+    return _neardup_index(spark, sf_dir).clusters()
 
 
 # shared CTE chain: minhash-LSH pairs → undirected edges → transitive
@@ -689,9 +712,10 @@ SELECT doc AS doc_id, CAST(cluster AS BIGINT) AS cluster_id FROM comp
 def q_dedup_prune(spark, sf_dir):
     """Corpus pruning: one row per SURVIVING document after near-dup
     clustering — representatives keep their cluster, unclustered docs pass
-    through. The operator that actually shrinks a training corpus."""
+    through. The operator that actually shrinks a training corpus. Served
+    from the NearDupIndex components — two doc_id joins, zero shingling."""
     d = t(spark, sf_dir, "documents")
-    return TD.dedup_prune(d, "doc_id", "text", k=5, perms=32, bands=4, threshold=0.8)
+    return _neardup_index(spark, sf_dir).prune(d, "doc_id")
 
 
 SQL_DEDUP_PRUNE = f"""
