@@ -24,30 +24,45 @@ N_ROWS = 100_000_000
 LEVELS = [8, 32]
 
 CHILD = r"""
-import json, sys, time
+import json, os, sys, time
 sys.path.insert(0, "/root/repo")
 from web_crawler_spark.session import get_spark
 import bench
 
+def wait_idle(threshold=2.0, max_wait=240):
+    # shared host: another tenant's load spike during a measured run turns
+    # the N vs 4N comparison into noise (observed 0.9 -> 0.5 swings). Gate
+    # each measured run on a quiet 1-min load; give up after max_wait so
+    # the harness still completes on a busy day (the JSON records the load
+    # actually seen).
+    t0 = time.time()
+    while os.getloadavg()[0] > threshold and time.time() - t0 < max_wait:
+        time.sleep(10)
+    return os.getloadavg()[0]
+
 cpus = int(sys.argv[1])
 n_rows = int(sys.argv[2])
 spark = get_spark(f"scale-{cpus}", parallelism=cpus, shuffle_partitions=cpus)
+bench.frontier_throughput(spark, max(n_rows // 20, 1_000_000))  # JIT warmup
 best = None
+loads = []
 for _ in range(3):
+    loads.append(round(wait_idle(), 2))
     t0 = time.time()
     tput, n_sel = bench.frontier_throughput(spark, n_rows)
     dt = time.time() - t0
     if best is None or dt < best[0]:
         best = (dt, tput, n_sel)
 print(json.dumps({"cpus": cpus, "sec": round(best[0], 2),
-                  "urls_per_sec": round(best[1]), "selected": best[2]}))
+                  "urls_per_sec": round(best[1]), "selected": best[2],
+                  "loads": loads}))
 """
 
 
 def run_level(cpus: int, n_rows: int = N_ROWS) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", CHILD, str(cpus), str(n_rows)],
-        capture_output=True, text=True, timeout=900,
+        capture_output=True, text=True, timeout=2400,
         cwd="/root/repo",
     )
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
@@ -85,8 +100,10 @@ seen anti-join → skew-safe salted per-host top-k) over a generated
 {N_ROWS:,}-row frontier with Zipfian-ish host skew — the same DataFrame
 plan the engine runs per crawl round (`bench.frontier_throughput`). The
 10^10 design point is the same plan with a larger `spark.range`; per-row
-cost is what is measured here. Best of 3 runs per level (JIT warmup
-excluded), one JVM per level.
+cost is what is measured here. Best of 3 runs per level (after a JIT
+warmup pass), one JVM per level; each measured run waits for 1-min
+load < 2 first (shared host — concurrent tenants otherwise turn the
+comparison into noise).
 
 | parallelism | wall s | URLs/s | vs local[8] |
 |---|---|---|---|

@@ -52,13 +52,13 @@ def get_spark(
         "spark.sql.shuffle.partitions": str(n_shuffle),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
-        # size-based coalescing (the Spark tuning guide's production
-        # recommendation): without this AQE keeps ≥ default-parallelism
-        # partitions, so a small round still schedules 32 tasks per stage
-        # and the crawl round's fixed cost is all task latency; with it,
-        # partition count follows data volume at every scale
-        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+        # parallelism-first coalescing (the default) stays GLOBAL: compressed
+        # shuffle sizes under-estimate row volume on repetitive data, so
+        # size-based coalescing can under-partition a large scan and idle
+        # 3/4 of the cluster (measured: N→4N efficiency 0.895 → 0.64 when
+        # size-first was global). The crawl ROUND flips to size-based
+        # coalescing for its own jobs only (plans/round.py:_round_confs) —
+        # orchestration stages are tiny and task latency dominates there.
         "spark.sql.adaptive.skewJoin.enabled": "true",
         # Arrow for every pandas UDF / mapInPandas / toPandas hop.
         "spark.sql.execution.arrow.pyspark.enabled": "true",
