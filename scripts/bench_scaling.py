@@ -29,7 +29,9 @@ sys.path.insert(0, "/root/repo")
 from web_crawler_spark.session import get_spark
 import bench
 
-def wait_idle(threshold=2.0, max_wait=240):
+HZ = os.sysconf("SC_CLK_TCK")
+
+def wait_idle(threshold=0.7, max_wait=600):
     # shared host: another tenant's load spike during a measured run turns
     # the N vs 4N comparison into noise (observed 0.9 -> 0.5 swings). Gate
     # each measured run on a quiet 1-min load; give up after max_wait so
@@ -40,22 +42,77 @@ def wait_idle(threshold=2.0, max_wait=240):
         time.sleep(10)
     return os.getloadavg()[0]
 
+def total_busy_jiffies():
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    # user nice system idle iowait irq softirq steal guest guest_nice:
+    # busy = everything except idle+iowait
+    vals = [int(x) for x in parts]
+    return sum(vals) - vals[3] - vals[4]
+
+def own_tree_jiffies():
+    # CPU (utime+stime) of this process plus every live descendant — the
+    # JVM, its pyspark worker daemons, everything we own. Anything else
+    # consuming CPU during the run is a foreign tenant.
+    me = os.getpid()
+    procs = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                st = f.read()
+            # comm may contain spaces/parens: fields after the LAST ')'
+            tail = st.rsplit(")", 1)[1].split()
+            procs[int(pid)] = (int(tail[1]), int(tail[11]) + int(tail[12]))
+        except (FileNotFoundError, ProcessLookupError, IndexError):
+            continue
+    mine, frontier = 0, {me}
+    while frontier:
+        nxt = set()
+        for pid, (ppid, cpu) in procs.items():
+            if ppid in frontier:
+                nxt.add(pid)
+        for pid in frontier:
+            if pid in procs:
+                mine += procs[pid][1]
+        for pid in frontier:
+            procs.pop(pid, None)
+        frontier = nxt
+    return mine
+
 cpus = int(sys.argv[1])
 n_rows = int(sys.argv[2])
 spark = get_spark(f"scale-{cpus}", parallelism=cpus, shuffle_partitions=cpus)
 bench.frontier_throughput(spark, max(n_rows // 20, 1_000_000))  # JIT warmup
 best = None
-loads = []
-for _ in range(3):
-    loads.append(round(wait_idle(), 2))
-    t0 = time.time()
+runs = []
+clean = 0
+last = None
+for attempt in range(8):
+    load0 = round(wait_idle(), 2)
+    b0, o0, t0 = total_busy_jiffies(), own_tree_jiffies(), time.time()
     tput, n_sel = bench.frontier_throughput(spark, n_rows)
     dt = time.time() - t0
-    if best is None or dt < best[0]:
-        best = (dt, tput, n_sel)
+    last = (dt, tput, n_sel)
+    foreign = max(0.0, (total_busy_jiffies() - b0) - (own_tree_jiffies() - o0)) / HZ
+    foreign_cores = foreign / dt  # avg foreign busy cores during the run
+    contended = foreign_cores > 0.5
+    runs.append({"sec": round(dt, 2), "load0": load0,
+                 "foreign_cores": round(foreign_cores, 2),
+                 "contended": contended})
+    if not contended:
+        clean += 1
+        if best is None or dt < best[0]:
+            best = (dt, tput, n_sel)
+        if clean >= 3:
+            break
+if best is None:  # busy day: fall back to the fastest run, disclosed
+    fastest = min(runs, key=lambda r: r["sec"])
+    best = (fastest["sec"], n_rows / fastest["sec"], last[2])
 print(json.dumps({"cpus": cpus, "sec": round(best[0], 2),
                   "urls_per_sec": round(best[1]), "selected": best[2],
-                  "loads": loads}))
+                  "clean_runs": clean, "runs": runs}))
 """
 
 
@@ -100,10 +157,13 @@ seen anti-join → skew-safe salted per-host top-k) over a generated
 {N_ROWS:,}-row frontier with Zipfian-ish host skew — the same DataFrame
 plan the engine runs per crawl round (`bench.frontier_throughput`). The
 10^10 design point is the same plan with a larger `spark.range`; per-row
-cost is what is measured here. Best of 3 runs per level (after a JIT
-warmup pass), one JVM per level; each measured run waits for 1-min
-load < 2 first (shared host — concurrent tenants otherwise turn the
-comparison into noise).
+cost is what is measured here. Best of 3 contention-clean runs per level
+(after a JIT warmup pass), one JVM per level. The host is shared, so each
+measured run first waits for 1-min load < 0.7, then foreign-tenant CPU
+*during* the run is measured (total /proc/stat busy jiffies minus our own
+process tree's CPU); a run with > 0.5 avg foreign busy cores is discarded
+and retried — concurrent tenants otherwise turn the N vs 4N comparison
+into noise.
 
 | parallelism | wall s | URLs/s | vs local[8] |
 |---|---|---|---|

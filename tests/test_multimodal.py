@@ -150,3 +150,53 @@ def test_decode_video_frames_dispatch():
             M.decode_video_frames(b"\x00\x00\x00\x18ftypmp42-not-really")
     else:  # pragma: no cover - only where ffmpeg exists
         pytest.skip("ffmpeg present; real-container path exercised elsewhere")
+
+
+def test_phash_neardup_pairs(spark):
+    """Image-axis near-dup: planted ~dN variants are found at low hamming;
+    mutually-distant images produce no pairs; NULL/corrupt blobs drop."""
+    rows = []
+    for i in range(6):
+        mid = f"img_{i}"
+        rows.append((mid, I.encode_image(I.render_pixels(mid, 32, 32), "png")))
+    # planted near-dups of img_0 and img_3
+    for mid in ("img_0~d1", "img_3~d2"):
+        rows.append((mid, I.encode_image(I.render_pixels(mid, 32, 32), "png")))
+    rows.append(("img_bad", b"junk"))
+    rows.append(("img_null", None))
+    df = spark.createDataFrame(rows, "media_id string, bytes binary")
+    pairs = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in M.phash_neardup_pairs(df, max_hamming=3, bands=4).collect()
+    }
+    assert ("img_0", "img_0~d1") in pairs
+    assert ("img_3", "img_3~d2") in pairs
+    for (a, b), h in pairs.items():
+        assert h <= 3
+        assert "bad" not in a + b and "null" not in a + b
+    # exact-recall pigeonhole guard
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        M.phash_neardup_pairs(df, max_hamming=4, bands=4)
+
+
+def test_phash_neardup_matches_bruteforce(spark):
+    """Band-join candidate generation loses no pair vs brute force at
+    hamming <= bands-1 (the pigeonhole guarantee)."""
+    ids = [f"img_{i}" for i in range(10)] + ["img_2~d1", "img_7~d1"]
+    blobs = {m: I.encode_image(I.render_pixels(m, 32, 32), "png") for m in ids}
+    hashes = {m: I.phash64(I.decode_image(b)) for m, b in blobs.items()}
+    expected = set()
+    for a in ids:
+        for b in ids:
+            if a < b and I.hamming64(hashes[a], hashes[b]) <= 3:
+                expected.add((a, b, I.hamming64(hashes[a], hashes[b])))
+    df = spark.createDataFrame(
+        [(m, blobs[m]) for m in ids], "media_id string, bytes binary"
+    )
+    got = {
+        (r["media_a"], r["media_b"], r["hamming"])
+        for r in M.phash_neardup_pairs(df, max_hamming=3, bands=4).collect()
+    }
+    assert got == expected

@@ -310,3 +310,79 @@ def sample_frames(
     return df.select("media_id", bytes_col).mapInPandas(
         run, "media_id string, frame_idx int, frame_bytes binary"
     )
+
+
+def phash_neardup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    bytes_col: str = "bytes",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Image near-duplicate pairs by 64-bit perceptual hash (the image-axis
+    twin of ``textdedup.simhash_pairs``): hamming(phash_a, phash_b) ≤
+    ``max_hamming`` over decoded pixel content — catches re-encodes,
+    quantization noise, and the fixture's ``~dN`` noise variants, which
+    byte-level exact dedup (D1/D2) cannot.
+
+    Candidate generation is the pigeonhole band trick: split the 64-bit
+    phash into ``bands`` contiguous chunks; any pair within hamming ≤
+    bands−1 agrees exactly on ≥1 chunk, so per-chunk equi-joins find every
+    qualifying pair (bands = max_hamming+1 → exact recall, no all-pairs
+    stage — the property that holds at 100 TB). Undecodable/NULL blobs are
+    dropped (error-as-data upstream, E1). Unlike simhash's 60-bit hashes,
+    phash uses the full signed 64-bit range, so band extraction must be the
+    UNSIGNED shift — an arithmetic shift would smear the sign bit across
+    the high band and split buckets.
+
+    Output (media_a, media_b, hamming), media_a < media_b.
+    """
+    assert bands >= max_hamming + 1, "need bands > max_hamming for exact recall"
+    assert 64 % bands == 0, "bands must divide 64"
+    chunk = 64 // bands
+    ph = (
+        df.select(F.col(id_col).alias("media_id"), F.col(bytes_col).alias("b"))
+        .withColumn("phash", I.phash_udf(F.col("b")))
+        .filter(F.col("phash").isNotNull())
+        .select("media_id", "phash")
+    )
+    bandified = ph.select(
+        "media_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("phash"), b * chunk).bitwiseAND(
+                        F.lit((1 << chunk) - 1).cast("long")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = bandified.alias("a")
+    b = bandified.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("media_a", "media_b", "hamming")
+    )
