@@ -200,3 +200,25 @@ def test_phash_neardup_matches_bruteforce(spark):
         for r in M.phash_neardup_pairs(df, max_hamming=3, bands=4).collect()
     }
     assert got == expected
+
+
+def test_phash_neardup_clusters(spark):
+    """Cluster assignment over phash pairs: a transitive chain collapses to
+    one component labeled by its lexicographic-min member; images with no
+    near-dup never appear."""
+    ids = [f"img_{i}" for i in range(5)] + ["img_1~d1", "img_1~d2", "img_4~d1"]
+    rows = [(m, I.encode_image(I.render_pixels(m, 32, 32), "png")) for m in ids]
+    df = spark.createDataFrame(rows, "media_id string, bytes binary")
+    got = {
+        r["media_id"]: r["cluster_id"]
+        for r in M.phash_neardup_clusters(df, max_hamming=3, bands=4).collect()
+    }
+    # both ~d variants of img_1 chain into one component rooted at img_1
+    assert got["img_1"] == "img_1"
+    assert got["img_1~d1"] == "img_1" and got["img_1~d2"] == "img_1"
+    assert got["img_4"] == "img_4" and got["img_4~d1"] == "img_4"
+    # clustered ids are exactly the ids that appear in some pair
+    in_pairs = set()
+    for r in M.phash_neardup_pairs(df, max_hamming=3, bands=4).collect():
+        in_pairs.update((r["media_a"], r["media_b"]))
+    assert set(got) == in_pairs

@@ -341,11 +341,18 @@ def phash_neardup_pairs(
     assert bands >= max_hamming + 1, "need bands > max_hamming for exact recall"
     assert 64 % bands == 0, "bands must divide 64"
     chunk = 64 // bands
+    # The hash frame feeds BOTH sides of the self-join, and the stream/build
+    # branches of a join re-execute their lineage independently (a
+    # BroadcastExchange is never a ReusedExchange of the probe side) — so
+    # without a cut here every image would be decoded + DCT'd twice. The
+    # checkpointed frame is 16 bytes/row regardless of blob size, so this is
+    # the cheapest possible materialization point at any corpus scale.
     ph = (
         df.select(F.col(id_col).alias("media_id"), F.col(bytes_col).alias("b"))
         .withColumn("phash", I.phash_udf(F.col("b")))
         .filter(F.col("phash").isNotNull())
         .select("media_id", "phash")
+        .localCheckpoint(eager=True)
     )
     bandified = ph.select(
         "media_id",
@@ -386,3 +393,33 @@ def phash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("media_a", "media_b", "hamming")
     )
+
+
+def phash_neardup_clusters(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    bytes_col: str = "bytes",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Cluster assignment over image near-dup pairs: connected components
+    with the min-id representative (lexicographic min for string media
+    ids) — the image twin of ``textdedup.dedup_clusters`` /
+    ``similarity.neardup_clusters``, built on the same label-propagation
+    operator, so the image suite emits the same prunable (id, cluster_id)
+    shape as the text and embedding suites and feeds the same corpus-prune
+    step. Output (media_id, cluster_id) for every image with ≥1
+    near-duplicate; singletons never enter the frame (join back LEFT to
+    keep them)."""
+    from .textdedup import connected_components
+
+    pairs = phash_neardup_pairs(
+        df, id_col=id_col, bytes_col=bytes_col,
+        max_hamming=max_hamming, bands=bands,
+    )
+    return connected_components(
+        pairs.select(
+            F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b")
+        )
+    ).select(F.col("doc_id").alias("media_id"), "cluster_id")

@@ -610,7 +610,12 @@ def simhash_pairs(
     """
     assert bands >= max_hamming + 1, "need bands > max_hamming for exact recall"
     chunk = bits // bands
-    sh = simhash_table(df, id_col, text_col, bits=bits)
+    # Both sides of the band self-join re-execute their lineage (the build
+    # side's BroadcastExchange is never a ReusedExchange of the probe side),
+    # so without a cut the shingle-explode + 60-counter aggregation — the
+    # expensive stage — runs twice over the full corpus. The hash table is
+    # 16 bytes/row, the cheapest possible materialization point.
+    sh = simhash_table(df, id_col, text_col, bits=bits).localCheckpoint(eager=True)
     bandified = sh.select(
         "doc_id",
         "sh",

@@ -2105,17 +2105,22 @@ def _phash_image_id(pk: int) -> str:
     return f"img_{pk - 7}~d1" if pk % 8 == 7 else f"img_{pk}"
 
 
-def q_image_phash_neardup(spark, sf_dir):
-    """Image-axis near-dup: 64-bit perceptual hash + pigeonhole band join
-    (operators/multimodal.py:phash_neardup_pairs) over a deterministic
-    32×32 WCSI image corpus derived from part. Bands are equi-joins only —
-    no all-pairs stage; the blob generation/decode/phash path is the same
-    mapInPandas + Arrow plumbing the real crawl stores media through."""
+def _phash_corpus(spark, sf_dir):
+    """Deterministic 32×32 WCSI image corpus derived from part — shared by
+    the phash pair and cluster queries. The blob generation/decode/phash
+    path is the same mapInPandas + Arrow plumbing the real crawl stores
+    media through."""
     import pandas as _pd
 
-    from ..operators.multimodal import phash_neardup_pairs
-
-    p = t(spark, sf_dir, "part").select(F.col("p_partkey").cast("long").alias("pk"))
+    # Small-SF part is a single parquet split; without a repartition the
+    # whole generate→encode→decode→phash Python pipeline would run on one
+    # core. Real media tables arrive in many splits — this keeps the local
+    # fixture honest about the operator's parallelism.
+    p = (
+        t(spark, sf_dir, "part")
+        .select(F.col("p_partkey").cast("long").alias("pk"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def gen(batches):
         from ..functions.images import encode_image, render_pixels
@@ -2127,11 +2132,31 @@ def q_image_phash_neardup(spark, sf_dir):
             ]
             yield _pd.DataFrame({"media_id": ids, "bytes": blobs})
 
-    imgs = p.mapInPandas(gen, "media_id string, bytes binary")
+    return p.mapInPandas(gen, "media_id string, bytes binary")
+
+
+def q_image_phash_neardup(spark, sf_dir):
+    """Image-axis near-dup: 64-bit perceptual hash + pigeonhole band join
+    (operators/multimodal.py:phash_neardup_pairs). Bands are equi-joins
+    only — no all-pairs stage."""
+    from ..operators.multimodal import phash_neardup_pairs
+
     # hamming ≤ 2 recovers every planted ~d1 variant (measured recall
     # 250/250 at sf0.01) while bounding the avg-hash's accidental
     # collisions between structurally-similar synthetic gradients.
-    return phash_neardup_pairs(imgs, max_hamming=2, bands=4)
+    return phash_neardup_pairs(_phash_corpus(spark, sf_dir), max_hamming=2, bands=4)
+
+
+def q_image_phash_clusters(spark, sf_dir):
+    """Image near-dup cluster assignment: connected components over the
+    same banded phash pairs, min-id representative — the prunable form of
+    image_phash_neardup, same label-propagation operator as the text and
+    embedding suites."""
+    from ..operators.multimodal import phash_neardup_clusters
+
+    return phash_neardup_clusters(
+        _phash_corpus(spark, sf_dir), max_hamming=2, bands=4
+    )
 
 
 def _ensure_phash_expected(sf_dir: str) -> None:
@@ -2170,9 +2195,9 @@ def _ensure_phash_expected(sf_dir: str) -> None:
 
 # Band extraction must match Spark's shiftrightunsigned on SIGNED 64-bit
 # hashes: lift to the unsigned HUGEINT value first, then exact integer
-# div/mod per 16-bit chunk.
-SQL_IMAGE_PHASH_NEARDUP = f"""
-WITH ph AS (
+# div/mod per 16-bit chunk. Shared CTE chain for the phash family
+# (pairs + clusters), ending at the qualifying pair set.
+_PHASH_PAIR_CTES = f"""ph AS (
   SELECT media_id, phash,
          CAST(phash AS HUGEINT)
            + CASE WHEN phash < 0 THEN CAST('18446744073709551616' AS HUGEINT)
@@ -2190,10 +2215,33 @@ cand AS (
                   a.phash AS ph_a, b.phash AS ph_b
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-   AND a.media_id < b.media_id)
-SELECT media_a, media_b, CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
-FROM cand
-WHERE bit_count(xor(ph_a, ph_b)) <= 2
+   AND a.media_id < b.media_id),
+phpairs AS (
+  SELECT media_a, media_b,
+         CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+  FROM cand
+  WHERE bit_count(xor(ph_a, ph_b)) <= 2)"""
+
+SQL_IMAGE_PHASH_NEARDUP = f"""
+WITH {_PHASH_PAIR_CTES}
+SELECT media_a, media_b, hamming FROM phpairs
+"""
+
+# Components replayed as a recursive min-reachable CTE; MIN over VARCHAR is
+# lexicographic in both engines, matching connected_components' F.min on
+# string media ids.
+SQL_IMAGE_PHASH_CLUSTERS = f"""
+WITH RECURSIVE {_PHASH_PAIR_CTES},
+phedges AS (
+  SELECT media_a AS src, media_b AS dst FROM phpairs
+  UNION
+  SELECT media_b, media_a FROM phpairs),
+phreach(m, l) AS (
+  SELECT src, src FROM phedges
+  UNION
+  SELECT e.src, r.l FROM phedges e JOIN phreach r ON r.m = e.dst)
+SELECT m AS media_id, MIN(l) AS cluster_id
+FROM phreach GROUP BY m
 """
 
 
@@ -2244,6 +2292,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # multimodal plumbing
     "media_meta": (q_media_meta, SQL_MEDIA_META),
     "image_phash_neardup": (q_image_phash_neardup, SQL_IMAGE_PHASH_NEARDUP),
+    "image_phash_clusters": (q_image_phash_clusters, SQL_IMAGE_PHASH_CLUSTERS),
     # sinks / naming / scalar coalescing
     "combined_concat": (q_combined_concat, SQL_COMBINED_CONCAT),
     "output_naming": (q_output_naming, SQL_OUTPUT_NAMING),
