@@ -186,13 +186,23 @@ def extract_features(df: DataFrame, *, bytes_col: str = "bytes") -> DataFrame:
     return df.select(*cols).mapInPandas(run, FEATURES_SCHEMA)
 
 
+def nn_resize(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample of an (h, w, 3) array — the pure kernel
+    shared by ``resize_images`` and its oracle twin, so the engine and the
+    expected-output generator can only diverge in dataflow, not math.
+    Dependency-free and deterministic; a real pipeline swaps this one
+    function for a library resampler."""
+    h, w = px.shape[:2]
+    yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return px[yi][:, xi]
+
+
 def resize_images(
     df: DataFrame, *, out_w: int, out_h: int, bytes_col: str = "bytes"
 ) -> DataFrame:
     """Decode → nearest-neighbor resize → re-encode (WCSI png profile).
 
-    Nearest-neighbor keeps the kernel dependency-free and deterministic;
-    a real pipeline swaps the one numpy line for a library resampler.
     Output: (media_id, bytes) with resized encodings; undecodable → NULL.
     """
 
@@ -209,10 +219,7 @@ def resize_images(
                 except (ValueError, zlib.error, NotImplementedError):
                     out_blobs.append(None)
                     continue
-                h, w = px.shape[:2]
-                yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
-                xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
-                out_blobs.append(I.encode_image(px[yi][:, xi], "png"))
+                out_blobs.append(I.encode_image(nn_resize(px, out_w, out_h), "png"))
             yield pd.DataFrame({"media_id": out_ids, "bytes": out_blobs})
 
     return df.select("media_id", bytes_col).mapInPandas(run, "media_id string, bytes binary")

@@ -1689,6 +1689,8 @@ def ensure_expected_outputs(sf_dir: str = ORACLE_SF_DIR) -> None:
     _ensure_render_expected(sf_dir)
     _ensure_zip_expected(sf_dir)
     _ensure_phash_expected(sf_dir)
+    _ensure_resize_expected(sf_dir)
+    _ensure_frames_expected(sf_dir)
 
 
 def _crawl_demo(spark, sf_dir: str):
@@ -2245,6 +2247,178 @@ FROM phreach GROUP BY m
 """
 
 
+EXPECTED_RESIZE = _expected_keyed_path("media_resize", ORACLE_SF_DIR)
+EXPECTED_FRAMES = _expected_keyed_path("video_frames", ORACLE_SF_DIR)
+
+
+def q_media_resize(spark, sf_dir):
+    """Image resize as a contract query: the phash corpus resized 32×32 →
+    16×16 (decode → shared nearest-neighbor kernel → re-encode, one
+    mapInPandas pass, no shuffle), summarized as (media_id, n_bytes,
+    sha256) so the resized BYTES — not just shapes — are pinned against
+    the pure-Python twin across partitionings."""
+    from ..operators.multimodal import resize_images
+
+    resized = resize_images(_phash_corpus(spark, sf_dir), out_w=16, out_h=16)
+    return resized.select(
+        "media_id",
+        F.octet_length("bytes").cast("long").alias("n_bytes"),
+        F.sha2(F.col("bytes"), 256).alias("sha256"),
+    )
+
+
+def _video_id(pk: int) -> str:
+    return f"vid_{pk}"
+
+
+_VIDEO_FRAMES = 4  # frames packed per synthetic video
+_VIDEO_EVERY = 2   # sampling stride under test
+
+
+def q_video_frame_sample(spark, sf_dir):
+    """Video frame sampling as a contract query: pack 4 deterministic 8×8
+    WCSI frames per part row into the length-prefixed stream format, sample
+    every 2nd frame (byte slicing only — no decode), and pin each sampled
+    frame's exact bytes via (media_id, frame_idx, n_bytes, sha256)."""
+    import pandas as _pd
+
+    from ..operators.multimodal import sample_frames
+
+    p = (
+        t(spark, sf_dir, "part")
+        .select(F.col("p_partkey").cast("long").alias("pk"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(batches):
+        from ..functions.images import encode_image, render_pixels
+        from ..operators.multimodal import pack_frames
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for v in pdf["pk"]:
+                mid = _video_id(int(v))
+                ids.append(mid)
+                blobs.append(
+                    pack_frames(
+                        [
+                            encode_image(render_pixels(f"{mid}/f{j}", 8, 8), "png")
+                            for j in range(_VIDEO_FRAMES)
+                        ]
+                    )
+                )
+            yield _pd.DataFrame({"media_id": ids, "bytes": blobs})
+
+    vids = p.mapInPandas(gen, "media_id string, bytes binary")
+    sampled = sample_frames(vids, every=_VIDEO_EVERY)
+    return sampled.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.octet_length("frame_bytes").cast("long").alias("n_bytes"),
+        F.sha2(F.col("frame_bytes"), 256).alias("sha256"),
+    )
+
+
+def _ensure_resize_expected(sf_dir: str) -> None:
+    """Pure-Python twin of q_media_resize: same corpus, same shared
+    ``nn_resize`` kernel, zero Spark."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.images import decode_image, encode_image, render_pixels
+    from ..operators.multimodal import nn_resize
+
+    out_path = _expected_keyed_path("media_resize", sf_dir)
+    if _os.path.exists(out_path):
+        return
+    src = f"{sf_dir}/part.parquet"
+    if not _os.path.exists(src):
+        return
+    p = pd.read_parquet(src, columns=["p_partkey"])
+    rows = []
+    for v in p["p_partkey"]:
+        mid = _phash_image_id(int(v))
+        px = decode_image(encode_image(render_pixels(mid, 32, 32), "png"))
+        blob = encode_image(nn_resize(px, 16, 16), "png")
+        rows.append(
+            {
+                "media_id": mid,
+                "n_bytes": len(blob),
+                "sha256": hashlib.sha256(blob).hexdigest(),
+            }
+        )
+    _write_expected(
+        out_path,
+        pd.DataFrame(rows),
+        pa.schema(
+            [("media_id", pa.string()), ("n_bytes", pa.int64()), ("sha256", pa.string())]
+        ),
+    )
+
+
+def _ensure_frames_expected(sf_dir: str) -> None:
+    """Pure-Python twin of q_video_frame_sample: shares only the byte
+    format (pack_frames) with the engine, replays the sampling stride
+    itself."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.images import encode_image, render_pixels
+    from ..operators.multimodal import pack_frames, unpack_frames
+
+    out_path = _expected_keyed_path("video_frames", sf_dir)
+    if _os.path.exists(out_path):
+        return
+    src = f"{sf_dir}/part.parquet"
+    if not _os.path.exists(src):
+        return
+    p = pd.read_parquet(src, columns=["p_partkey"])
+    rows = []
+    for v in p["p_partkey"]:
+        mid = _video_id(int(v))
+        packed = pack_frames(
+            [
+                encode_image(render_pixels(f"{mid}/f{j}", 8, 8), "png")
+                for j in range(_VIDEO_FRAMES)
+            ]
+        )
+        for j, fr in enumerate(unpack_frames(packed)):
+            if j % _VIDEO_EVERY == 0:
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "frame_idx": j,
+                        "n_bytes": len(fr),
+                        "sha256": hashlib.sha256(fr).hexdigest(),
+                    }
+                )
+    _write_expected(
+        out_path,
+        pd.DataFrame(rows),
+        pa.schema(
+            [
+                ("media_id", pa.string()),
+                ("frame_idx", pa.int64()),
+                ("n_bytes", pa.int64()),
+                ("sha256", pa.string()),
+            ]
+        ),
+    )
+
+
+SQL_MEDIA_RESIZE = f"""
+SELECT media_id, n_bytes, sha256 FROM read_parquet('{EXPECTED_RESIZE}')
+"""
+
+SQL_VIDEO_FRAME_SAMPLE = f"""
+SELECT media_id, frame_idx, n_bytes, sha256 FROM read_parquet('{EXPECTED_FRAMES}')
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2293,6 +2467,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "media_meta": (q_media_meta, SQL_MEDIA_META),
     "image_phash_neardup": (q_image_phash_neardup, SQL_IMAGE_PHASH_NEARDUP),
     "image_phash_clusters": (q_image_phash_clusters, SQL_IMAGE_PHASH_CLUSTERS),
+    "media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
+    "video_frame_sample": (q_video_frame_sample, SQL_VIDEO_FRAME_SAMPLE),
     # sinks / naming / scalar coalescing
     "combined_concat": (q_combined_concat, SQL_COMBINED_CONCAT),
     "output_naming": (q_output_naming, SQL_OUTPUT_NAMING),
