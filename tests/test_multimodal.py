@@ -222,3 +222,24 @@ def test_phash_neardup_clusters(spark):
     for r in M.phash_neardup_pairs(df, max_hamming=3, bands=4).collect():
         in_pairs.update((r["media_a"], r["media_b"]))
     assert set(got) == in_pairs
+
+
+def test_phash_prune(spark):
+    """Decode gate + near-dup prune: corrupt blobs drop entirely, cluster
+    non-representatives drop, representatives and singletons survive with
+    the right kept_as label."""
+    ids = [f"img_{i}" for i in range(4)] + ["img_1~d1", "img_1~d2"]
+    rows = [(m, I.encode_image(I.render_pixels(m, 32, 32), "png")) for m in ids]
+    rows.append(("img_bad", b"not an image"))
+    rows.append(("img_null", None))
+    df = spark.createDataFrame(rows, "media_id string, bytes binary")
+    got = {
+        r["media_id"]: r["kept_as"]
+        for r in M.phash_prune(df, max_hamming=3, bands=4).collect()
+    }
+    assert "img_bad" not in got and "img_null" not in got  # decode gate
+    assert got["img_1"] == "representative"
+    assert "img_1~d1" not in got and "img_1~d2" not in got  # pruned dupes
+    for m in ("img_0", "img_2", "img_3"):
+        assert got[m] == "unique"
+    assert len(got) == 4

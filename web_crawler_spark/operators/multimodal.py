@@ -345,22 +345,41 @@ def phash_neardup_pairs(
 
     Output (media_a, media_b, hamming), media_a < media_b.
     """
-    assert bands >= max_hamming + 1, "need bands > max_hamming for exact recall"
-    assert 64 % bands == 0, "bands must divide 64"
-    chunk = 64 // bands
-    # The hash frame feeds BOTH sides of the self-join, and the stream/build
-    # branches of a join re-execute their lineage independently (a
-    # BroadcastExchange is never a ReusedExchange of the probe side) — so
-    # without a cut here every image would be decoded + DCT'd twice. The
-    # checkpointed frame is 16 bytes/row regardless of blob size, so this is
-    # the cheapest possible materialization point at any corpus scale.
-    ph = (
+    ph = phash_table(df, id_col=id_col, bytes_col=bytes_col).filter(
+        F.col("phash").isNotNull()
+    )
+    return _pairs_from_hashes(ph, max_hamming=max_hamming, bands=bands)
+
+
+def phash_table(
+    df: DataFrame, *, id_col: str = "media_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """(media_id, phash) for a blob column; phash NULL where the blob is
+    NULL/undecodable (error-as-data — NULLness IS the decode gate).
+
+    Materialized with ``localCheckpoint(eager=True)``: the hash frame feeds
+    both sides of the near-dup self-join (and, in ``phash_prune``, the
+    final survivor join too), and join branches re-execute their lineage
+    independently (a BroadcastExchange is never a ReusedExchange of the
+    probe side) — so without a cut here every image would be decoded +
+    hashed once per consumer. The checkpointed frame is 16 bytes/row
+    regardless of blob size: the cheapest possible materialization point
+    at any corpus scale."""
+    return (
         df.select(F.col(id_col).alias("media_id"), F.col(bytes_col).alias("b"))
         .withColumn("phash", I.phash_udf(F.col("b")))
-        .filter(F.col("phash").isNotNull())
         .select("media_id", "phash")
         .localCheckpoint(eager=True)
     )
+
+
+def _pairs_from_hashes(
+    ph: DataFrame, *, max_hamming: int, bands: int
+) -> DataFrame:
+    """Banded self-join over a non-null (media_id, phash) frame."""
+    assert bands >= max_hamming + 1, "need bands > max_hamming for exact recall"
+    assert 64 % bands == 0, "bands must divide 64"
+    chunk = 64 // bands
     bandified = ph.select(
         "media_id",
         "phash",
@@ -430,3 +449,52 @@ def phash_neardup_clusters(
             F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b")
         )
     ).select(F.col("doc_id").alias("media_id"), "cluster_id")
+
+
+def phash_prune(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    bytes_col: str = "bytes",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Image corpus curation: decode gate + near-dup prune in one pass —
+    the image twin of ``textdedup.dedup_prune``. Drops undecodable blobs
+    (phash NULL = failed decode, error-as-data) and every near-duplicate
+    that is not its cluster's lexicographic-min representative. Output one
+    row per SURVIVING image: (media_id, kept_as ∈ {representative,
+    unique}) — apply as a left-semi join against the corpus to materialize
+    the curated set.
+
+    Linear dataflow at any scale: one decode+hash pass (checkpointed,
+    shared by the pair join and the survivor join), the banded equi-join,
+    O(log diameter) component rounds, then two anti/left joins on
+    media_id."""
+    from .textdedup import connected_components
+
+    ph = phash_table(df, id_col=id_col, bytes_col=bytes_col)
+    valid = ph.filter(F.col("phash").isNotNull())
+    pairs = _pairs_from_hashes(valid, max_hamming=max_hamming, bands=bands)
+    clusters = connected_components(
+        pairs.select(
+            F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b")
+        )
+    ).select(F.col("doc_id").alias("media_id"), "cluster_id")
+    dupes = clusters.filter(F.col("media_id") != F.col("cluster_id")).select(
+        "media_id"
+    )
+    reps = clusters.filter(F.col("media_id") == F.col("cluster_id")).select(
+        "media_id", F.lit(True).alias("__rep")
+    )
+    return (
+        valid.select("media_id")
+        .join(dupes, "media_id", "left_anti")
+        .join(reps, "media_id", "left")
+        .select(
+            "media_id",
+            F.when(F.col("__rep"), F.lit("representative"))
+            .otherwise(F.lit("unique"))
+            .alias("kept_as"),
+        )
+    )

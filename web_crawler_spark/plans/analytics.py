@@ -2107,11 +2107,13 @@ def _phash_image_id(pk: int) -> str:
     return f"img_{pk - 7}~d1" if pk % 8 == 7 else f"img_{pk}"
 
 
-def _phash_corpus(spark, sf_dir):
+def _phash_corpus(spark, sf_dir, corrupt_mod: int | None = None):
     """Deterministic 32×32 WCSI image corpus derived from part — shared by
-    the phash pair and cluster queries. The blob generation/decode/phash
-    path is the same mapInPandas + Arrow plumbing the real crawl stores
-    media through."""
+    the phash pair/cluster/resize/curation queries. The blob
+    generation/decode/phash path is the same mapInPandas + Arrow plumbing
+    the real crawl stores media through. With ``corrupt_mod``, every
+    pk ≡ 0 (mod corrupt_mod) row carries an undecodable blob — the decode
+    gate's planted failures (error-as-data, E1)."""
     import pandas as _pd
 
     # Small-SF part is a single parquet split; without a repartition the
@@ -2128,10 +2130,16 @@ def _phash_corpus(spark, sf_dir):
         from ..functions.images import encode_image, render_pixels
 
         for pdf in batches:
-            ids = [_phash_image_id(int(v)) for v in pdf["pk"]]
-            blobs = [
-                encode_image(render_pixels(i, 32, 32), "png") for i in ids
-            ]
+            ids, blobs = [], []
+            for v in pdf["pk"]:
+                pk = int(v)
+                ids.append(_phash_image_id(pk))
+                if corrupt_mod is not None and pk % corrupt_mod == 0:
+                    blobs.append(f"corrupt-{pk}".encode())
+                else:
+                    blobs.append(
+                        encode_image(render_pixels(ids[-1], 32, 32), "png")
+                    )
             yield _pd.DataFrame({"media_id": ids, "bytes": blobs})
 
     return p.mapInPandas(gen, "media_id string, bytes binary")
@@ -2198,13 +2206,16 @@ def _ensure_phash_expected(sf_dir: str) -> None:
 # Band extraction must match Spark's shiftrightunsigned on SIGNED 64-bit
 # hashes: lift to the unsigned HUGEINT value first, then exact integer
 # div/mod per 16-bit chunk. Shared CTE chain for the phash family
-# (pairs + clusters), ending at the qualifying pair set.
-_PHASH_PAIR_CTES = f"""ph AS (
+# (pairs + clusters + curation), ending at the qualifying pair set;
+# ``where`` narrows the hash table (the curation oracle excludes the
+# planted-corrupt ids there, mirroring the engine's NULL-phash gate).
+def _phash_pair_ctes(where: str = "") -> str:
+    return f"""ph AS (
   SELECT media_id, phash,
          CAST(phash AS HUGEINT)
            + CASE WHEN phash < 0 THEN CAST('18446744073709551616' AS HUGEINT)
                   ELSE CAST(0 AS HUGEINT) END AS u
-  FROM read_parquet('{EXPECTED_PHASH}')),
+  FROM read_parquet('{EXPECTED_PHASH}') {where}),
 bands AS (
   SELECT media_id, phash, v.band_idx,
          CAST((u // v.d) % 65536 AS BIGINT) AS band_val
@@ -2223,6 +2234,9 @@ phpairs AS (
          CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
   FROM cand
   WHERE bit_count(xor(ph_a, ph_b)) <= 2)"""
+
+
+_PHASH_PAIR_CTES = _phash_pair_ctes()
 
 SQL_IMAGE_PHASH_NEARDUP = f"""
 WITH {_PHASH_PAIR_CTES}
@@ -2244,6 +2258,48 @@ phreach(m, l) AS (
   SELECT e.src, r.l FROM phedges e JOIN phreach r ON r.m = e.dst)
 SELECT m AS media_id, MIN(l) AS cluster_id
 FROM phreach GROUP BY m
+"""
+
+
+def q_image_curation(spark, sf_dir):
+    """The image-axis curation pipeline end-to-end (the image twin of
+    corpus_curation): decode gate (planted-corrupt blobs at pk ≡ 0 mod 97
+    drop as NULL-phash error rows) → phash near-dup prune within the
+    decodable corpus → one row per surviving image (media_id, kept_as).
+    One decode pass, banded equi-joins only — linear composition."""
+    from ..operators.multimodal import phash_prune
+
+    corpus = _phash_corpus(spark, sf_dir, corrupt_mod=97)
+    return phash_prune(corpus, max_hamming=2, bands=4)
+
+
+# The oracle rebuilds the corrupt-id set from part with the same id mapping
+# (_phash_image_id) and excludes it from the hash table — replaying the
+# engine's decode gate — then replays prune over components.
+_CORRUPT_IDS_SQL = """corrupt AS (
+  SELECT CASE WHEN p_partkey % 8 = 7
+              THEN 'img_' || CAST(p_partkey - 7 AS VARCHAR) || '~d1'
+              ELSE 'img_' || CAST(p_partkey AS VARCHAR) END AS media_id
+  FROM part WHERE p_partkey % 97 = 0)"""
+
+SQL_IMAGE_CURATION = f"""
+WITH RECURSIVE {_CORRUPT_IDS_SQL},
+{_phash_pair_ctes("WHERE media_id NOT IN (SELECT media_id FROM corrupt)")},
+phedges AS (
+  SELECT media_a AS src, media_b AS dst FROM phpairs
+  UNION
+  SELECT media_b, media_a FROM phpairs),
+phreach(m, l) AS (
+  SELECT src, src FROM phedges
+  UNION
+  SELECT e.src, r.l FROM phedges e JOIN phreach r ON r.m = e.dst),
+phclusters AS (
+  SELECT m AS media_id, MIN(l) AS cluster_id FROM phreach GROUP BY m)
+SELECT v.media_id,
+       CASE WHEN c.cluster_id = v.media_id THEN 'representative'
+            ELSE 'unique' END AS kept_as
+FROM ph v LEFT JOIN phclusters c USING (media_id)
+WHERE c.cluster_id IS NULL OR c.cluster_id = v.media_id
 """
 
 
@@ -2469,6 +2525,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "image_phash_clusters": (q_image_phash_clusters, SQL_IMAGE_PHASH_CLUSTERS),
     "media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
     "video_frame_sample": (q_video_frame_sample, SQL_VIDEO_FRAME_SAMPLE),
+    "image_curation": (q_image_curation, SQL_IMAGE_CURATION),
     # sinks / naming / scalar coalescing
     "combined_concat": (q_combined_concat, SQL_COMBINED_CONCAT),
     "output_naming": (q_output_naming, SQL_OUTPUT_NAMING),
