@@ -1691,6 +1691,7 @@ def ensure_expected_outputs(sf_dir: str = ORACLE_SF_DIR) -> None:
     _ensure_phash_expected(sf_dir)
     _ensure_resize_expected(sf_dir)
     _ensure_frames_expected(sf_dir)
+    _ensure_features_expected(sf_dir)
 
 
 def _crawl_demo(spark, sf_dir: str):
@@ -2305,6 +2306,85 @@ WHERE c.cluster_id IS NULL OR c.cluster_id = v.media_id
 
 EXPECTED_RESIZE = _expected_keyed_path("media_resize", ORACLE_SF_DIR)
 EXPECTED_FRAMES = _expected_keyed_path("video_frames", ORACLE_SF_DIR)
+EXPECTED_FEATURES = _expected_keyed_path("media_features", ORACLE_SF_DIR)
+
+
+def q_media_features(spark, sf_dir):
+    """Decode + feature extraction as a contract query: per-channel means
+    and perceptual hash over the phash corpus WITH planted-corrupt blobs,
+    so both the decoded=true path and the error-as-data decoded=false rows
+    are pinned against the pure-Python twin (floats compare exactly — both
+    sides run the identical numpy expression)."""
+    from ..operators.multimodal import extract_features
+
+    return extract_features(_phash_corpus(spark, sf_dir, corrupt_mod=97))
+
+
+def _ensure_features_expected(sf_dir: str) -> None:
+    """Pure-Python twin of q_media_features — same numpy mean expression,
+    same phash, zero Spark."""
+    import numpy as _np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.images import decode_image, encode_image, phash64, render_pixels
+
+    out_path = _expected_keyed_path("media_features", sf_dir)
+    if _os.path.exists(out_path):
+        return
+    src = f"{sf_dir}/part.parquet"
+    if not _os.path.exists(src):
+        return
+    p = pd.read_parquet(src, columns=["p_partkey"])
+    rows = []
+    for v in p["p_partkey"]:
+        pk = int(v)
+        mid = _phash_image_id(pk)
+        if pk % 97 == 0:
+            rows.append(
+                {
+                    "media_id": mid, "decoded": False, "w": None, "h": None,
+                    "mean_r": None, "mean_g": None, "mean_b": None,
+                    "phash": None,
+                }
+            )
+            continue
+        px = decode_image(encode_image(render_pixels(mid, 32, 32), "png"))
+        means = px.astype(_np.float64).mean(axis=(0, 1))
+        rows.append(
+            {
+                "media_id": mid, "decoded": True,
+                "w": int(px.shape[1]), "h": int(px.shape[0]),
+                "mean_r": float(means[0]), "mean_g": float(means[1]),
+                "mean_b": float(means[2]), "phash": phash64(px),
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    pdf["w"] = pdf["w"].astype("Int32")
+    pdf["h"] = pdf["h"].astype("Int32")
+    pdf["phash"] = pdf["phash"].astype("Int64")
+    _write_expected(
+        out_path,
+        pdf,
+        pa.schema(
+            [
+                ("media_id", pa.string()),
+                ("decoded", pa.bool_()),
+                ("w", pa.int32()),
+                ("h", pa.int32()),
+                ("mean_r", pa.float64()),
+                ("mean_g", pa.float64()),
+                ("mean_b", pa.float64()),
+                ("phash", pa.int64()),
+            ]
+        ),
+    )
+
+
+SQL_MEDIA_FEATURES = f"""
+SELECT media_id, decoded, w, h, mean_r, mean_g, mean_b, phash
+FROM read_parquet('{EXPECTED_FEATURES}')
+"""
 
 
 def q_media_resize(spark, sf_dir):
@@ -2526,6 +2606,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
     "video_frame_sample": (q_video_frame_sample, SQL_VIDEO_FRAME_SAMPLE),
     "image_curation": (q_image_curation, SQL_IMAGE_CURATION),
+    "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     # sinks / naming / scalar coalescing
     "combined_concat": (q_combined_concat, SQL_COMBINED_CONCAT),
     "output_naming": (q_output_naming, SQL_OUTPUT_NAMING),
