@@ -243,3 +243,78 @@ def test_phash_prune(spark):
     for m in ("img_0", "img_2", "img_3"):
         assert got[m] == "unique"
     assert len(got) == 4
+
+
+def test_extract_features_phash_exact_with_nulls_in_batch(spark):
+    """Regression: a list-of-dicts pandas batch with None rows used to
+    infer float64 for the phash column, silently zeroing the low ~11 bits
+    of every 64-bit hash in the batch (53-bit mantissa). Pin bit-exactness
+    for a hash with nonzero low bits while a NULL row shares the batch."""
+    mid, w, h = "img_1002", 40, 40  # phash low bits nonzero at this size
+    px = I.render_pixels(mid, w, h)
+    exact = I.phash64(px)
+    assert exact & 0x7FF, "fixture must exercise the low mantissa bits"
+    df = spark.createDataFrame(
+        [(mid, I.encode_image(px, "png")), ("img_null", None)],
+        "media_id string, bytes binary",
+    ).coalesce(1)  # one batch: the NULL row must share the Arrow batch
+    rows = {r["media_id"]: r for r in M.extract_features(df).collect()}
+    assert rows[mid]["phash"] == exact
+    assert rows["img_null"]["decoded"] is False
+
+
+def test_profile_udf_one_pass(spark):
+    """profile_udf: phash + dims in one decode; NULL triple on bad blobs."""
+    px = I.render_pixels("img-p", 24, 18)
+    df = spark.createDataFrame(
+        [("p", I.encode_image(px, "png")), ("x", b"garbage"), ("n", None)],
+        "pair_id string, bytes binary",
+    )
+    rows = {
+        r["pair_id"]: r["prof"]
+        for r in df.select("pair_id", I.profile_udf("bytes").alias("prof")).collect()
+    }
+    assert rows["p"]["phash"] == I.phash64(px)
+    assert (rows["p"]["w"], rows["p"]["h"]) == (24, 18)
+    for bad in ("x", "n"):
+        assert rows[bad]["phash"] is None and rows[bad]["w"] is None
+
+
+def test_curate_pairs_verdicts(spark):
+    """Joint image+caption curation: every gate fires in first-fail order,
+    near-dup prune runs only within survivors, one row per input pair."""
+    good_en = "the quick brown fox jumps over the lazy dog and runs far away home"
+    blob = lambda m, s=32: I.encode_image(I.render_pixels(m, s, s), "png")
+    rows = [
+        ("a_base", blob("a_base"), good_en),          # kept_representative
+        ("a_base~d1", blob("a_base~d1"), good_en),    # near_dup of a_base
+        ("b_solo", blob("b_solo"), good_en),          # kept_unique
+        ("c_nocap", blob("c_nocap"), None),           # missing_caption
+        ("d_corrupt", b"not an image", good_en),      # undecodable
+        ("e_small", blob("e_small", 16), good_en),    # too_small
+        ("f_lang", blob("f_lang"), "der die das und nicht ist ein der die das und"),
+        ("g_short", blob("g_short"), "ok the end"),   # short but 3 ws tokens -> quality gate first
+        # gate order: missing_caption beats undecodable
+        ("h_both", b"also corrupt", None),            # missing_caption
+    ]
+    df = spark.createDataFrame(rows, "pair_id string, bytes binary, caption string")
+    got = {
+        r["pair_id"]: r
+        for r in M.curate_pairs(
+            df, min_dim=28, min_quality=0.5, min_tokens=3, max_hamming=3, bands=4
+        ).collect()
+    }
+    assert len(got) == len(rows)  # error-as-data: nothing silently dropped
+    assert got["a_base"]["verdict"] == "kept_representative"
+    assert got["a_base~d1"]["verdict"] == "near_dup"
+    assert got["b_solo"]["verdict"] == "kept_unique"
+    assert got["c_nocap"]["verdict"] == "missing_caption"
+    assert got["d_corrupt"]["verdict"] == "undecodable"
+    assert got["e_small"]["verdict"] == "too_small"
+    assert got["f_lang"]["verdict"] == "lang"
+    assert got["h_both"]["verdict"] == "missing_caption"
+    # diagnostics stay populated where measurable
+    assert got["c_nocap"]["w"] == 32 and got["c_nocap"]["lang"] is None
+    assert got["d_corrupt"]["w"] is None and got["d_corrupt"]["score"] is not None
+    # the too_small image never reaches the near-dup join but keeps metrics
+    assert got["e_small"]["w"] == 16 and got["e_small"]["ws_tokens"] == 14

@@ -30,7 +30,14 @@ import zlib
 import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BooleanType, DoubleType, LongType
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 try:  # real image libs when available (not in this sandbox)
     from PIL import Image  # noqa: F401
@@ -234,6 +241,36 @@ def phash_udf(blob: pd.Series) -> pd.Series:
     s = pd.Series(out, dtype="Int64")
     s[~mask] = pd.NA
     return s
+
+
+@pandas_udf(
+    StructType(
+        [
+            StructField("phash", LongType()),
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+        ]
+    )
+)
+def profile_udf(blob: pd.Series) -> pd.DataFrame:
+    """One decode per blob → (phash, w, h); all three NULL where the blob is
+    NULL/corrupt (error-as-data — NULLness IS the decode gate). Joint
+    gating pipelines (curate_pairs) need both the perceptual hash and the
+    dimensions, and decoding is the dominant cost: this keeps it one pass."""
+    ph = pd.array([None] * len(blob), dtype="Int64")
+    w = pd.array([None] * len(blob), dtype="Int32")
+    h = pd.array([None] * len(blob), dtype="Int32")
+    for i, b in enumerate(blob):
+        if b is None:
+            continue
+        try:
+            px = decode_image(bytes(b))
+        except (ValueError, zlib.error):
+            continue
+        ph[i] = phash64(px)
+        w[i] = int(px.shape[1])
+        h[i] = int(px.shape[0])
+    return pd.DataFrame({"phash": ph, "w": w, "h": h})
 
 
 @pandas_udf(BooleanType())

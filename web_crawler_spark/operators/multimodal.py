@@ -181,7 +181,22 @@ def extract_features(df: DataFrame, *, bytes_col: str = "bytes") -> DataFrame:
                     except (ValueError, zlib.error, NotImplementedError):
                         pass
                 out.append(row)
-            yield pd.DataFrame(out)
+            # explicit nullable dtypes: a list-of-dicts DataFrame infers
+            # float64 for int+None columns, and float64's 53-bit mantissa
+            # silently zeroes the low ~11 bits of 64-bit phashes before
+            # Arrow casts back to int64
+            yield pd.DataFrame(
+                {
+                    "media_id": [r["media_id"] for r in out],
+                    "decoded": [r["decoded"] for r in out],
+                    "w": pd.array([r["w"] for r in out], dtype="Int32"),
+                    "h": pd.array([r["h"] for r in out], dtype="Int32"),
+                    "mean_r": pd.array([r["mean_r"] for r in out], dtype="Float64"),
+                    "mean_g": pd.array([r["mean_g"] for r in out], dtype="Float64"),
+                    "mean_b": pd.array([r["mean_b"] for r in out], dtype="Float64"),
+                    "phash": pd.array([r["phash"] for r in out], dtype="Int64"),
+                }
+            )
 
     return df.select(*cols).mapInPandas(run, FEATURES_SCHEMA)
 
@@ -497,4 +512,113 @@ def phash_prune(
             .otherwise(F.lit("unique"))
             .alias("kept_as"),
         )
+    )
+
+
+def curate_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "pair_id",
+    bytes_col: str = "bytes",
+    caption_col: str = "caption",
+    lang: str = "en",
+    min_dim: int = 28,
+    min_quality: float = 0.5,
+    min_tokens: int = 3,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Joint image+caption training-pair curation (the LAION-style pipeline
+    over the north rule's pair table): every gate a multimodal corpus needs
+    before training, in one declarative plan with error-as-data verdicts —
+    a 100 TB curation job must account for every dropped row, so gated
+    pairs are returned WITH their drop reason, never silently filtered.
+
+    One decode pass (``profile_udf``: phash + dimensions per blob, Arrow
+    batches) and one caption pass (pure column expressions) produce a
+    narrow per-pair metrics frame, ``localCheckpoint``-ed so the near-dup
+    self-join and the final verdict join never re-decode. Gates apply
+    first-fail in a fixed order:
+
+      1. ``missing_caption`` — caption NULL (unpaired image)
+      2. ``undecodable``     — blob NULL/corrupt (decode gate, E1)
+      3. ``too_small``       — min(w, h) < ``min_dim`` (resolution gate)
+      4. ``lang``            — caption language ≠ ``lang``
+      5. ``low_quality``     — caption quality score < ``min_quality``
+      6. ``caption_short``   — whitespace tokens < ``min_tokens``
+      7. near-dup prune WITHIN the survivors: phash pigeonhole band join
+         (exact recall at hamming ≤ bands−1, equi-joins only) → connected
+         components → ``near_dup`` for non-representatives;
+         survivors keep ``kept_representative`` / ``kept_unique``.
+
+    Output: one row per input pair —
+    (pair_id, w, h, lang, score, ws_tokens, verdict). Measured values stay
+    populated on gated rows (diagnostics), NULL only where unmeasurable
+    (no blob → no w/h/phash; no caption → no lang/score/tokens).
+
+    Scale shape: linear decode map + banded equi-joins + O(log diameter)
+    component rounds + two hash joins on pair_id — no all-pairs stage, no
+    driver-side loop; the checkpointed metrics frame is a few dozen bytes
+    per row regardless of blob size.
+    """
+    from ..functions import text as T
+    from ..functions.images import profile_udf
+    from .textdedup import connected_components
+
+    base = (
+        df.select(
+            F.col(id_col).alias("pair_id"),
+            F.col(caption_col).alias("_cap"),
+            profile_udf(F.col(bytes_col)).alias("_p"),
+        )
+        .select(
+            "pair_id",
+            F.col("_p.phash").alias("phash"),
+            F.col("_p.w").alias("w"),
+            F.col("_p.h").alias("h"),
+            F.col("_cap").isNotNull().alias("_has_cap"),
+            # guard the caption metrics behind the NULL check explicitly:
+            # unpaired rows must carry NULL (unmeasurable), not the metric
+            # expressions' value for empty text ('und' / 0)
+            F.when(F.col("_cap").isNotNull(), T.lang_id(F.col("_cap"))).alias("lang"),
+            F.when(F.col("_cap").isNotNull(), T.quality_score(F.col("_cap"))).alias(
+                "score"
+            ),
+            F.when(
+                F.col("_cap").isNotNull(), T.ws_token_count(F.col("_cap")).cast("long")
+            ).alias("ws_tokens"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    gate = (
+        F.when(~F.col("_has_cap"), F.lit("missing_caption"))
+        .when(F.col("phash").isNull(), F.lit("undecodable"))
+        .when(F.least("w", "h") < F.lit(min_dim), F.lit("too_small"))
+        .when(F.col("lang") != F.lit(lang), F.lit("lang"))
+        .when(F.col("score") < F.lit(min_quality), F.lit("low_quality"))
+        .when(F.col("ws_tokens") < F.lit(min_tokens), F.lit("caption_short"))
+    )
+    flagged = base.withColumn("_fail", gate)
+    survivors = flagged.filter(F.col("_fail").isNull())
+    pairs = _pairs_from_hashes(
+        survivors.select(F.col("pair_id").alias("media_id"), "phash"),
+        max_hamming=max_hamming,
+        bands=bands,
+    )
+    clusters = connected_components(
+        pairs.select(F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b"))
+    ).select(F.col("doc_id").alias("pair_id"), "cluster_id")
+    return flagged.join(clusters, "pair_id", "left").select(
+        "pair_id",
+        "w",
+        "h",
+        "lang",
+        "score",
+        "ws_tokens",
+        F.coalesce(
+            F.col("_fail"),
+            F.when(F.col("cluster_id").isNull(), F.lit("kept_unique"))
+            .when(F.col("cluster_id") == F.col("pair_id"), F.lit("kept_representative"))
+            .otherwise(F.lit("near_dup")),
+        ).alias("verdict"),
     )

@@ -1692,6 +1692,7 @@ def ensure_expected_outputs(sf_dir: str = ORACLE_SF_DIR) -> None:
     _ensure_resize_expected(sf_dir)
     _ensure_frames_expected(sf_dir)
     _ensure_features_expected(sf_dir)
+    _ensure_pair_profile_expected(sf_dir)
 
 
 def _crawl_demo(spark, sf_dir: str):
@@ -2359,10 +2360,20 @@ def _ensure_features_expected(sf_dir: str) -> None:
                 "mean_b": float(means[2]), "phash": phash64(px),
             }
         )
-    pdf = pd.DataFrame(rows)
-    pdf["w"] = pdf["w"].astype("Int32")
-    pdf["h"] = pdf["h"].astype("Int32")
-    pdf["phash"] = pdf["phash"].astype("Int64")
+    # explicit nullable dtypes (same rule as extract_features): float64
+    # inference on int+None columns destroys the low bits of 64-bit phashes
+    pdf = pd.DataFrame(
+        {
+            "media_id": [r["media_id"] for r in rows],
+            "decoded": [r["decoded"] for r in rows],
+            "w": pd.array([r["w"] for r in rows], dtype="Int32"),
+            "h": pd.array([r["h"] for r in rows], dtype="Int32"),
+            "mean_r": pd.array([r["mean_r"] for r in rows], dtype="Float64"),
+            "mean_g": pd.array([r["mean_g"] for r in rows], dtype="Float64"),
+            "mean_b": pd.array([r["mean_b"] for r in rows], dtype="Float64"),
+            "phash": pd.array([r["phash"] for r in rows], dtype="Int64"),
+        }
+    )
     _write_expected(
         out_path,
         pdf,
@@ -2384,6 +2395,218 @@ def _ensure_features_expected(sf_dir: str) -> None:
 SQL_MEDIA_FEATURES = f"""
 SELECT media_id, decoded, w, h, mean_r, mean_g, mean_b, phash
 FROM read_parquet('{EXPECTED_FEATURES}')
+"""
+
+
+# ---------------------------------------------------------------------------
+# pair_curation — joint image+caption curation (the graft cell's pair table:
+# BASELINE.json input_hint (image_id, bytes, …, caption, phash)). Images from
+# part, captions LEFT-joined from documents; the gates compose the image
+# suite (decode, resolution, phash near-dup) with the text suite (lang,
+# quality, token count) over ONE pair frame.
+# ---------------------------------------------------------------------------
+
+_PAIR_DOC_MOD = 512    # caption pairing: doc_id = pk % 512 — slots past the
+                       # document count stay unpaired (missing_caption gate)
+_PAIR_MIN_DIM = 28     # resolution gate: drops the 24-px families
+
+
+def _pair_side(pk: int) -> int:
+    """Render side per near-dup FAMILY (pk // 8): {24, 32, 40} — varied so
+    the resolution gate has real work to do, constant within a family so
+    the planted ``~d1`` near-dup stays phash-close to its base."""
+    return 24 + 8 * ((pk // 8) % 3)
+
+
+def _pair_corpus(spark, sf_dir):
+    """(doc_id, pair_id, bytes) pair rows from part: deterministic WCSI
+    blobs at family-keyed sizes, corrupt at pk ≡ 0 (mod 97), near-dup
+    variants every 8th row (the _phash_image_id convention)."""
+    import pandas as _pd
+
+    p = (
+        t(spark, sf_dir, "part")
+        .select(F.col("p_partkey").cast("long").alias("pk"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(batches):
+        from ..functions.images import encode_image, render_pixels
+
+        for pdf in batches:
+            ids, docs, blobs = [], [], []
+            for v in pdf["pk"]:
+                pk = int(v)
+                mid = _phash_image_id(pk)
+                ids.append(mid)
+                docs.append(pk % _PAIR_DOC_MOD)
+                if pk % 97 == 0:
+                    blobs.append(f"corrupt-{pk}".encode())
+                else:
+                    s = _pair_side(pk)
+                    blobs.append(encode_image(render_pixels(mid, s, s), "png"))
+            yield _pd.DataFrame({"doc_id": docs, "pair_id": ids, "bytes": blobs})
+
+    return p.mapInPandas(gen, "doc_id long, pair_id string, bytes binary")
+
+
+def q_pair_curation(spark, sf_dir):
+    """The multimodal flagship: joint image+caption pair curation — decode
+    gate, resolution gate, caption language/quality/length gates, phash
+    near-dup prune within the survivors — one row per pair with its verdict
+    (error-as-data: every dropped pair carries its drop reason). Captions
+    broadcast-joined from documents (dimension side); every downstream
+    stage is a column expression, banded equi-join, or component round."""
+    from ..operators.multimodal import curate_pairs
+
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    pairs = _pair_corpus(spark, sf_dir).join(F.broadcast(docs), "doc_id", "left")
+    return curate_pairs(
+        pairs,
+        id_col="pair_id",
+        bytes_col="bytes",
+        caption_col="text",
+        lang="en",
+        min_dim=_PAIR_MIN_DIM,
+        min_quality=0.5,
+        min_tokens=3,
+        max_hamming=2,
+        bands=4,
+    )
+
+
+EXPECTED_PAIR_PROFILE = _expected_keyed_path("pair_profile", ORACLE_SF_DIR)
+
+
+def _ensure_pair_profile_expected(sf_dir: str) -> None:
+    """Pure-Python twin of the pair corpus' decode pass: (pair_id, phash,
+    w, h) per part row — same render/encode/decode/phash chain, zero
+    Spark. The SQL replay joins this table for the image-side gates."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.images import decode_image, encode_image, phash64, render_pixels
+
+    out_path = _expected_keyed_path("pair_profile", sf_dir)
+    if _os.path.exists(out_path):
+        return
+    src = f"{sf_dir}/part.parquet"
+    if not _os.path.exists(src):
+        return
+    p = pd.read_parquet(src, columns=["p_partkey"])
+    rows = []
+    for v in p["p_partkey"]:
+        pk = int(v)
+        mid = _phash_image_id(pk)
+        if pk % 97 == 0:
+            rows.append({"pair_id": mid, "phash": None, "w": None, "h": None})
+            continue
+        s = _pair_side(pk)
+        px = decode_image(encode_image(render_pixels(mid, s, s), "png"))
+        rows.append(
+            {
+                "pair_id": mid,
+                "phash": phash64(px),
+                "w": int(px.shape[1]),
+                "h": int(px.shape[0]),
+            }
+        )
+    # build int columns with explicit nullable dtypes — a list-of-dicts
+    # DataFrame infers float64 for int+None columns, and float64's 53-bit
+    # mantissa silently zeroes the low ~11 bits of 64-bit phashes
+    pdf = pd.DataFrame(
+        {
+            "pair_id": [r["pair_id"] for r in rows],
+            "phash": pd.array([r["phash"] for r in rows], dtype="Int64"),
+            "w": pd.array([r["w"] for r in rows], dtype="Int32"),
+            "h": pd.array([r["h"] for r in rows], dtype="Int32"),
+        }
+    )
+    _write_expected(
+        out_path,
+        pdf,
+        pa.schema(
+            [
+                ("pair_id", pa.string()),
+                ("phash", pa.int64()),
+                ("w", pa.int32()),
+                ("h", pa.int32()),
+            ]
+        ),
+    )
+
+
+SQL_PAIR_CURATION = f"""
+WITH RECURSIVE
+corpus AS (
+  SELECT CASE WHEN p_partkey % 8 = 7
+              THEN 'img_' || CAST(p_partkey - 7 AS VARCHAR) || '~d1'
+              ELSE 'img_' || CAST(p_partkey AS VARCHAR) END AS pair_id,
+         p_partkey % {_PAIR_DOC_MOD} AS doc_id
+  FROM part),
+prof AS (SELECT * FROM read_parquet('{EXPECTED_PAIR_PROFILE}')),
+{_lang_ctes()},
+plang AS (SELECT doc_id, {_LANG_CASE_EXPR} AS lang_pred FROM s),
+{_quality_f_cte(name="pqf")},
+pqual AS (SELECT doc_id, {_QUALITY_SCORE_EXPR} AS score FROM pqf),
+pwt AS (
+  SELECT doc_id, {_WS_TOKENS_SQL} AS ws_tokens
+  FROM documents),
+pbase AS (
+  SELECT c.pair_id, pr.phash, pr.w, pr.h,
+         l.lang_pred AS lang, q.score, w2.ws_tokens,
+         CASE WHEN d.doc_id IS NULL THEN 'missing_caption'
+              WHEN pr.phash IS NULL THEN 'undecodable'
+              WHEN LEAST(pr.w, pr.h) < {_PAIR_MIN_DIM} THEN 'too_small'
+              WHEN l.lang_pred <> 'en' THEN 'lang'
+              WHEN q.score < 0.5 THEN 'low_quality'
+              WHEN w2.ws_tokens < 3 THEN 'caption_short'
+              END AS fail
+  FROM corpus c
+  JOIN prof pr ON pr.pair_id = c.pair_id
+  LEFT JOIN documents d ON d.doc_id = c.doc_id
+  LEFT JOIN plang l ON l.doc_id = c.doc_id
+  LEFT JOIN pqual q ON q.doc_id = c.doc_id
+  LEFT JOIN pwt w2 ON w2.doc_id = c.doc_id),
+psurv AS (
+  SELECT pair_id, phash,
+         CAST(phash AS HUGEINT)
+           + CASE WHEN phash < 0 THEN CAST('18446744073709551616' AS HUGEINT)
+                  ELSE CAST(0 AS HUGEINT) END AS u
+  FROM pbase WHERE fail IS NULL),
+pbands AS (
+  SELECT pair_id, phash, v.band_idx,
+         CAST((u // v.d) % 65536 AS BIGINT) AS band_val
+  FROM psurv, (VALUES (0, CAST(1 AS HUGEINT)),
+                      (1, CAST(65536 AS HUGEINT)),
+                      (2, CAST(4294967296 AS HUGEINT)),
+                      (3, CAST(281474976710656 AS HUGEINT))) AS v(band_idx, d)),
+pcand AS (
+  SELECT DISTINCT a.pair_id AS pa, b.pair_id AS pb,
+                  a.phash AS ph_a, b.phash AS ph_b
+  FROM pbands a JOIN pbands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.pair_id < b.pair_id),
+ppairs AS (
+  SELECT pa, pb FROM pcand WHERE bit_count(xor(ph_a, ph_b)) <= 2),
+pedges AS (
+  SELECT pa AS src, pb AS dst FROM ppairs
+  UNION
+  SELECT pb, pa FROM ppairs),
+preach(m, l) AS (
+  SELECT src, src FROM pedges
+  UNION
+  SELECT e.src, r.l FROM pedges e JOIN preach r ON r.m = e.dst),
+pclusters AS (
+  SELECT m AS pair_id, MIN(l) AS cluster_id FROM preach GROUP BY m)
+SELECT b.pair_id, b.w, b.h, b.lang, b.score, b.ws_tokens,
+       COALESCE(b.fail,
+                CASE WHEN c.cluster_id IS NULL THEN 'kept_unique'
+                     WHEN c.cluster_id = b.pair_id THEN 'kept_representative'
+                     ELSE 'near_dup' END) AS verdict
+FROM pbase b LEFT JOIN pclusters c ON c.pair_id = b.pair_id
 """
 
 
@@ -2607,6 +2830,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "video_frame_sample": (q_video_frame_sample, SQL_VIDEO_FRAME_SAMPLE),
     "image_curation": (q_image_curation, SQL_IMAGE_CURATION),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
+    "pair_curation": (q_pair_curation, SQL_PAIR_CURATION),
     # sinks / naming / scalar coalescing
     "combined_concat": (q_combined_concat, SQL_COMBINED_CONCAT),
     "output_naming": (q_output_naming, SQL_OUTPUT_NAMING),
