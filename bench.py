@@ -134,6 +134,45 @@ def frontier_throughput(spark, n_rows: int = 5_000_000) -> tuple[float, int]:
     return n_rows / dt, n_sel
 
 
+def image_pipeline_throughput(spark, n_images: int = 40_000) -> tuple[float, int]:
+    """Image-payload scaling job (north rule, payload axis): synthesize →
+    decode+phash (one Arrow pass) → pigeonhole band join → connected
+    components → near-dup prune, reported as images/s through the full
+    pipeline. The decode/hash stage is Python-worker-bound, so this
+    evidences the OTHER scaling axis from the frontier job: Arrow batch
+    transfer and Python worker-pool utilization, the regime every real
+    image operator (features, resize, curation gates) lives in. Every 8th
+    image is a planted ``~d1`` near-dup; every 97th blob is corrupt (the
+    decode gate drops it as an error row). The survivor count is
+    value-deterministic — identical across parallelism levels."""
+    import pandas as pd
+
+    from web_crawler_spark.operators.multimodal import phash_prune
+
+    base = spark.range(n_images).repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        from web_crawler_spark.functions.images import encode_image, render_pixels
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for v in pdf["id"]:
+                pk = int(v)
+                mid = f"img_{pk - 7}~d1" if pk % 8 == 7 else f"img_{pk}"
+                ids.append(mid)
+                if pk % 97 == 0:
+                    blobs.append(f"corrupt-{pk}".encode())
+                else:
+                    blobs.append(encode_image(render_pixels(mid, 32, 32), "png"))
+            yield pd.DataFrame({"media_id": ids, "bytes": blobs})
+
+    corpus = base.mapInPandas(gen, "media_id string, bytes binary")
+    t0 = time.time()
+    n_kept = phash_prune(corpus, max_hamming=2, bands=4).count()
+    dt = time.time() - t0
+    return n_images / dt, n_kept
+
+
 def crawl_engine_bench(spark, n_pages: int = 1500, rounds: int = 3) -> dict:
     """Macro-bench of the REAL engine: CrawlRun with the distributed
     membership tiers over a larger cached fixture. What this measures is

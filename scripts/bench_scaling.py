@@ -21,6 +21,7 @@ import subprocess
 import sys
 
 N_ROWS = 100_000_000
+N_IMAGES = 40_000
 LEVELS = [8, 32]
 
 CHILD = r"""
@@ -83,8 +84,14 @@ def own_tree_jiffies():
 
 cpus = int(sys.argv[1])
 n_rows = int(sys.argv[2])
-spark = get_spark(f"scale-{cpus}", parallelism=cpus, shuffle_partitions=cpus)
-bench.frontier_throughput(spark, max(n_rows // 20, 1_000_000))  # JIT warmup
+job = sys.argv[3] if len(sys.argv) > 3 else "frontier"
+JOBS = {
+    "frontier": (bench.frontier_throughput, 1_000_000),
+    "image": (bench.image_pipeline_throughput, 2_000),
+}
+job_fn, warm_floor = JOBS[job]
+spark = get_spark(f"scale-{job}-{cpus}", parallelism=cpus, shuffle_partitions=cpus)
+job_fn(spark, max(n_rows // 20, warm_floor))  # JIT + Python-worker warmup
 best = None
 runs = []
 clean = 0
@@ -92,7 +99,7 @@ last = None
 for attempt in range(8):
     load0 = round(wait_idle(), 2)
     b0, o0, t0 = total_busy_jiffies(), own_tree_jiffies(), time.time()
-    tput, n_sel = bench.frontier_throughput(spark, n_rows)
+    tput, n_sel = job_fn(spark, n_rows)
     dt = time.time() - t0
     last = (dt, tput, n_sel)
     foreign = max(0.0, (total_busy_jiffies() - b0) - (own_tree_jiffies() - o0)) / HZ
@@ -116,39 +123,56 @@ print(json.dumps({"cpus": cpus, "sec": round(best[0], 2),
 """
 
 
-def run_level(cpus: int, n_rows: int = N_ROWS) -> dict:
+def run_level(cpus: int, n_rows: int = N_ROWS, job: str = "frontier") -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", CHILD, str(cpus), str(n_rows)],
+        [sys.executable, "-c", CHILD, str(cpus), str(n_rows), job],
         capture_output=True, text=True, timeout=2400,
         cwd="/root/repo",
     )
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if out.returncode != 0 or not lines:
         raise RuntimeError(
-            f"child (local[{cpus}]) failed rc={out.returncode}:\n{out.stderr[-3000:]}"
+            f"child ({job}, local[{cpus}]) failed rc={out.returncode}:\n"
+            f"{out.stderr[-3000:]}"
         )
     return json.loads(lines[-1])
 
 
-def main():
-    results = {c: run_level(c) for c in LEVELS}
+def measure_job(job: str, n_rows: int) -> dict:
+    """Strong (N vs 4N, same input) + weak (rows/core constant) scaling for
+    one job, each level in its own JVM."""
+    results = {c: run_level(c, n_rows, job) for c in LEVELS}
     n, n4 = results[LEVELS[0]], results[LEVELS[1]]
     eff = (n4["urls_per_sec"] / n["urls_per_sec"]) / (LEVELS[1] / LEVELS[0])
     # weak scaling: constant rows-per-core (N cores @ M rows vs 4N @ 4M);
     # ideal is equal wall time → efficiency T_N / T_4N
-    wk_n = run_level(LEVELS[0], N_ROWS // 4)
+    wk_n = run_level(LEVELS[0], n_rows // 4, job)
     weak_eff = wk_n["sec"] / n4["sec"]
-    summary = {
-        "metric": "frontier URLs scheduled+deduped per second, N vs 4N parallelism",
-        "n_rows": N_ROWS,
+    return {
+        "n_rows": n_rows,
         "levels": results,
         "scaling_efficiency": round(eff, 3),
         "weak_scaling": {
-            "n_small": {"cpus": LEVELS[0], "rows": N_ROWS // 4, **wk_n},
+            "n_small": {"cpus": LEVELS[0], "rows": n_rows // 4, **wk_n},
             "efficiency": round(weak_eff, 3),
         },
         "target": 0.8,
         "pass": eff >= 0.8,
+    }
+
+
+def main():
+    fr = measure_job("frontier", N_ROWS)
+    im = measure_job("image", N_IMAGES)
+    results, eff, weak_eff = fr["levels"], fr["scaling_efficiency"], fr["weak_scaling"]["efficiency"]
+    n, n4 = results[LEVELS[0]], results[LEVELS[1]]
+    wk_n = fr["weak_scaling"]["n_small"]
+    imn, imn4 = im["levels"][LEVELS[0]], im["levels"][LEVELS[1]]
+    summary = {
+        "metric": "N vs 4N parallelism scaling, frontier (shuffle axis) + image pipeline (payload axis)",
+        "frontier": fr,
+        "image_pipeline": im,
+        "pass": fr["pass"] and im["pass"],
     }
     md = f"""# BENCH — scaling evidence (north rule)
 
@@ -182,6 +206,26 @@ executors.
 Determinism across parallelism: the selected batch and its fetch order are
 identical at both levels (total order `(priority DESC, url_hash ASC)`);
 verified by tests/test_politeness.py and the resume/roundtrip suites.
+
+## Image-pipeline scaling (payload axis)
+
+The frontier job is JVM/shuffle-bound; the image payload lives in the other
+regime — Arrow batches through Python workers. Same protocol, different job
+(`bench.image_pipeline_throughput`): synthesize {N_IMAGES:,} WCSI images →
+decode+phash in one Arrow pass → pigeonhole band join → connected
+components → near-dup prune (planted ~d1 variants every 8th image, corrupt
+blobs every 97th).
+
+| parallelism | wall s | images/s | vs local[{LEVELS[0]}] |
+|---|---|---|---|
+| local[{LEVELS[0]}]  (N)  | {imn['sec']} | {imn['urls_per_sec']:,} | 1.0× |
+| local[{LEVELS[1]}] (4N) | {imn4['sec']} | {imn4['urls_per_sec']:,} | {imn4['urls_per_sec']/imn['urls_per_sec']:.2f}× |
+
+**Strong-scaling efficiency N→4N: {im['scaling_efficiency']:.3f}** (target ≥ 0.8 →
+{"PASS" if im['pass'] else "FAIL"}); weak scaling (constant images/core):
+**{im['weak_scaling']['efficiency']:.3f}**. The survivor count is value-identical at
+both levels ({imn['selected']:,} = {imn4['selected']:,}) — the prune is deterministic
+across parallelism, same as the frontier's selected batch.
 
 ## Large-scale single-shot (recorded)
 

@@ -436,6 +436,48 @@ def _pairs_from_hashes(
     )
 
 
+def banded_matches(
+    probe: DataFrame, index: DataFrame, *, max_hamming: int, bands: int
+) -> DataFrame:
+    """Probe-vs-index near-dup membership: DISTINCT probe ``pair_id``s whose
+    phash is within ``max_hamming`` of ANY index row — the incremental-LSH
+    pattern (a growing admitted set probed by each new micro-batch). Same
+    pigeonhole guarantee as the self-join (exact recall at hamming ≤
+    bands−1), same shape at scale: band-explode both sides, one equi-join
+    on (band_idx, band_val), no all-pairs stage. Inputs: (pair_id, phash)
+    with non-null phash."""
+    assert bands >= max_hamming + 1, "need bands > max_hamming for exact recall"
+    assert 64 % bands == 0, "bands must divide 64"
+    chunk = 64 // bands
+
+    def bandify(df: DataFrame, idc: str, phc: str) -> DataFrame:
+        return df.select(
+            F.col("pair_id").alias(idc),
+            F.col("phash").alias(phc),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned(F.col("phash"), b * chunk).bitwiseAND(
+                            F.lit((1 << chunk) - 1).cast("long")
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band_idx", "band_val"),
+        )
+
+    p = bandify(probe, "probe_id", "ph_p")
+    x = bandify(index, "index_id", "ph_x")
+    return (
+        p.join(x, ["band_idx", "band_val"])
+        .filter(
+            F.bit_count(F.col("ph_p").bitwiseXOR(F.col("ph_x"))) <= F.lit(max_hamming)
+        )
+        .select(F.col("probe_id").alias("pair_id"))
+        .distinct()
+    )
+
+
 def phash_neardup_clusters(
     df: DataFrame,
     *,
@@ -515,6 +557,67 @@ def phash_prune(
     )
 
 
+def pair_metrics(
+    df: DataFrame,
+    *,
+    id_col: str = "pair_id",
+    bytes_col: str = "bytes",
+    caption_col: str = "caption",
+) -> DataFrame:
+    """The shared measurement pass for pair curation (batch and streaming):
+    ONE image decode (``profile_udf``: phash + dims per blob, Arrow batches)
+    plus the caption metrics as pure column expressions, checkpointed so no
+    downstream consumer re-decodes. Output per pair:
+    (pair_id, phash, w, h, _has_cap, lang, score, ws_tokens)."""
+    from ..functions import text as T
+    from ..functions.images import profile_udf
+
+    return (
+        df.select(
+            F.col(id_col).alias("pair_id"),
+            F.col(caption_col).alias("_cap"),
+            profile_udf(F.col(bytes_col)).alias("_p"),
+        )
+        .select(
+            "pair_id",
+            F.col("_p.phash").alias("phash"),
+            F.col("_p.w").alias("w"),
+            F.col("_p.h").alias("h"),
+            F.col("_cap").isNotNull().alias("_has_cap"),
+            # guard the caption metrics behind the NULL check explicitly:
+            # unpaired rows must carry NULL (unmeasurable), not the metric
+            # expressions' value for empty text ('und' / 0)
+            F.when(F.col("_cap").isNotNull(), T.lang_id(F.col("_cap"))).alias("lang"),
+            F.when(F.col("_cap").isNotNull(), T.quality_score(F.col("_cap"))).alias(
+                "score"
+            ),
+            F.when(
+                F.col("_cap").isNotNull(), T.ws_token_count(F.col("_cap")).cast("long")
+            ).alias("ws_tokens"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def pair_gate_expr(
+    *,
+    lang: str = "en",
+    min_dim: int = 28,
+    min_quality: float = 0.5,
+    min_tokens: int = 3,
+):
+    """First-fail gate over a ``pair_metrics`` frame: NULL = survivor, else
+    the drop reason (fixed evaluation order — the verdict taxonomy)."""
+    return (
+        F.when(~F.col("_has_cap"), F.lit("missing_caption"))
+        .when(F.col("phash").isNull(), F.lit("undecodable"))
+        .when(F.least("w", "h") < F.lit(min_dim), F.lit("too_small"))
+        .when(F.col("lang") != F.lit(lang), F.lit("lang"))
+        .when(F.col("score") < F.lit(min_quality), F.lit("low_quality"))
+        .when(F.col("ws_tokens") < F.lit(min_tokens), F.lit("caption_short"))
+    )
+
+
 def curate_pairs(
     df: DataFrame,
     *,
@@ -561,44 +664,20 @@ def curate_pairs(
     driver-side loop; the checkpointed metrics frame is a few dozen bytes
     per row regardless of blob size.
     """
-    from ..functions import text as T
-    from ..functions.images import profile_udf
     from .textdedup import connected_components
 
-    base = (
-        df.select(
-            F.col(id_col).alias("pair_id"),
-            F.col(caption_col).alias("_cap"),
-            profile_udf(F.col(bytes_col)).alias("_p"),
-        )
-        .select(
-            "pair_id",
-            F.col("_p.phash").alias("phash"),
-            F.col("_p.w").alias("w"),
-            F.col("_p.h").alias("h"),
-            F.col("_cap").isNotNull().alias("_has_cap"),
-            # guard the caption metrics behind the NULL check explicitly:
-            # unpaired rows must carry NULL (unmeasurable), not the metric
-            # expressions' value for empty text ('und' / 0)
-            F.when(F.col("_cap").isNotNull(), T.lang_id(F.col("_cap"))).alias("lang"),
-            F.when(F.col("_cap").isNotNull(), T.quality_score(F.col("_cap"))).alias(
-                "score"
-            ),
-            F.when(
-                F.col("_cap").isNotNull(), T.ws_token_count(F.col("_cap")).cast("long")
-            ).alias("ws_tokens"),
-        )
-        .localCheckpoint(eager=True)
+    base = pair_metrics(
+        df, id_col=id_col, bytes_col=bytes_col, caption_col=caption_col
     )
-    gate = (
-        F.when(~F.col("_has_cap"), F.lit("missing_caption"))
-        .when(F.col("phash").isNull(), F.lit("undecodable"))
-        .when(F.least("w", "h") < F.lit(min_dim), F.lit("too_small"))
-        .when(F.col("lang") != F.lit(lang), F.lit("lang"))
-        .when(F.col("score") < F.lit(min_quality), F.lit("low_quality"))
-        .when(F.col("ws_tokens") < F.lit(min_tokens), F.lit("caption_short"))
+    flagged = base.withColumn(
+        "_fail",
+        pair_gate_expr(
+            lang=lang,
+            min_dim=min_dim,
+            min_quality=min_quality,
+            min_tokens=min_tokens,
+        ),
     )
-    flagged = base.withColumn("_fail", gate)
     survivors = flagged.filter(F.col("_fail").isNull())
     pairs = _pairs_from_hashes(
         survivors.select(F.col("pair_id").alias("media_id"), "phash"),

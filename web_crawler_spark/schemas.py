@@ -196,3 +196,20 @@ METRICS = StructType(
         StructField("rows_discovered", LongType(), False),
     ]
 )
+
+# ---------------------------------------------------------------------------
+# admitted training pairs — the streaming pair-curation sink (one row per
+# pair that survived every gate + near-dup suppression at admission time).
+# phash stays in the table: it IS the near-dup index later batches probe.
+# ---------------------------------------------------------------------------
+ADMITTED_PAIRS = StructType(
+    [
+        StructField("pair_id", StringType(), False),
+        StructField("phash", LongType(), False),
+        StructField("w", IntegerType(), True),
+        StructField("h", IntegerType(), True),
+        StructField("lang", StringType(), True),
+        StructField("score", DoubleType(), True),
+        StructField("ws_tokens", LongType(), True),
+    ]
+)

@@ -1,0 +1,132 @@
+"""Streaming training-pair admission: the incremental twin of
+``multimodal.curate_pairs``.
+
+A file-source stream of (pair_id, bytes, caption) parquet lands curated
+pairs in an ``ADMITTED_PAIRS`` SnapshotTable. Each micro-batch runs the
+SAME measurement pass and gate chain as the batch operator
+(``pair_metrics`` + ``pair_gate_expr`` — one decode per blob, column-only
+caption metrics), then two near-dup stages:
+
+1. WITHIN the batch: pigeonhole band self-join → connected components →
+   keep the lexicographic-min representative per cluster (identical to the
+   batch operator's prune).
+2. ACROSS batches: the admitted table's (pair_id, phash) IS the near-dup
+   index — the batch's representatives probe it with a banded equi-join
+   (``banded_matches``) and anything within ``max_hamming`` of an
+   already-admitted pair is rejected. First-admitted-wins, the crawl's own
+   D1 arrival-order semantics; this is where the streaming result
+   intentionally differs from the batch operator's global
+   lexicographic-min representative (a stream cannot know future arrivals).
+
+Exactly-once: the applied batch_id rides as commit metadata INSIDE the same
+SnapshotTable commit as the admitted rows (atomic by the manifest swap), so
+a foreachBatch replay after any crash point skips the batch — the
+``ingest_seed_stream`` marker pattern.
+
+Scale shape per batch: one decode map + banded equi-joins (self + probe)
++ O(log diameter) component rounds. The probe side reads the admitted
+table's 16-byte/row (pair_id, phash) projection — with per-commit min/max
+stats the scan prunes to live commits; the index grows linearly with the
+ADMITTED corpus (post-dedup), not with the raw stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import (
+    _pairs_from_hashes,
+    banded_matches,
+    pair_gate_expr,
+    pair_metrics,
+)
+from ..schemas import ADMITTED_PAIRS
+
+PAIR_STREAM_SCHEMA = "pair_id string, bytes binary, caption string"
+
+_ADMITTED_COLS = [f.name for f in ADMITTED_PAIRS.fields]
+
+
+def admit_pair_batch(
+    batch: DataFrame,
+    batch_id: int,
+    admitted_table,
+    *,
+    lang: str = "en",
+    min_dim: int = 28,
+    min_quality: float = 0.5,
+    min_tokens: int = 3,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> None:
+    """foreachBatch body — gates, within-batch prune, cross-batch probe,
+    idempotent append. Usable directly for batch-driven backfills too."""
+    from ..operators.textdedup import connected_components
+
+    if batch_id in admitted_table.applied_meta("pair_batch_id"):
+        return
+    spark = batch.sparkSession
+    base = pair_metrics(batch)
+    survivors = base.withColumn(
+        "_fail",
+        pair_gate_expr(
+            lang=lang, min_dim=min_dim, min_quality=min_quality, min_tokens=min_tokens
+        ),
+    ).filter(F.col("_fail").isNull())
+
+    # within-batch near-dup prune: identical semantics to curate_pairs
+    pairs = _pairs_from_hashes(
+        survivors.select(F.col("pair_id").alias("media_id"), "phash"),
+        max_hamming=max_hamming,
+        bands=bands,
+    )
+    clusters = connected_components(
+        pairs.select(F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b"))
+    ).select(F.col("doc_id").alias("pair_id"), "cluster_id")
+    reps = (
+        survivors.join(clusters, "pair_id", "left")
+        .filter(
+            F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("pair_id"))
+        )
+        .select(*_ADMITTED_COLS)
+    )
+
+    # cross-batch: probe the admitted index; first-admitted-wins
+    index = admitted_table.read(spark, schema=ADMITTED_PAIRS).select(
+        "pair_id", "phash"
+    )
+    dupes = banded_matches(
+        reps.select("pair_id", "phash"), index, max_hamming=max_hamming, bands=bands
+    )
+    admitted = reps.join(dupes, "pair_id", "left_anti")
+    admitted_table.append(admitted, meta={"pair_batch_id": batch_id})
+
+
+def admit_pair_stream(
+    spark: SparkSession,
+    pairs_dir: str,
+    admitted_table,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+    **gate_kw,
+):
+    """Stream pair parquet files from a directory into the admitted table.
+
+    Returns the started StreamingQuery. ``availableNow`` drains existing
+    files and stops (the test/CI mode); on a cluster the same code runs
+    under a processing-time trigger. One file per trigger by default so
+    batch boundaries are deterministic in tests."""
+    src = (
+        spark.readStream.schema(PAIR_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pairs_dir)
+    )
+    writer = src.writeStream.foreachBatch(
+        lambda df, bid: admit_pair_batch(df, bid, admitted_table, **gate_kw)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
