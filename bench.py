@@ -308,11 +308,11 @@ def main():
         fn, _sql = REGISTRY[name]
         runs: list[float] = []
         n_runs = 3
-        for i in range(n_runs):
+        while len(runs) < n_runs:
             t0 = time.time()
             materialize(fn(spark, sf_dir))
             runs.append(time.time() - t0)
-            if i == 0 and runs[0] > SLOW_CUTOFF_SEC:
+            if len(runs) == 1 and runs[0] > SLOW_CUTOFF_SEC:
                 n_runs = 2
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)

@@ -107,3 +107,13 @@ def test_level_validation(spark):
     )
     with pytest.raises(ValueError):
         zip_archives(df, level="nope")
+
+
+def test_duplicate_arcnames_are_order_independent():
+    """Two members with the same arcname (a file re-written on retry) must
+    still produce byte-identical archives regardless of arrival order —
+    name-only sorting is stable and would preserve partition-dependent
+    order, making zip bytes depend on cluster layout."""
+    a = build_zip_bytes([("x.md", b"v2"), ("x.md", b"v1"), ("a.md", b"z")])
+    b = build_zip_bytes([("x.md", b"v1"), ("a.md", b"z"), ("x.md", b"v2")])
+    assert a == b

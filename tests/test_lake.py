@@ -315,3 +315,40 @@ def test_applied_meta_survives_compaction_and_expiration(spark, tmp_path):
     t.compact(spark)
     t.expire_snapshots(keep_last=1)
     assert t.applied_meta("ingest_batch_id") == {0, 1, 2}
+
+
+def test_expire_spares_inflight_commit_dirs(spark, tmp_path):
+    """A concurrent writer's data dir (written outside the commit lock,
+    not yet manifested) must survive expire_snapshots: deleting it would
+    leave the subsequently committed snapshot pointing at missing files.
+    Stale markers (crashed writers) ARE garbage-collected past the grace
+    window."""
+    import os
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.overwrite(_mk(spark, 0, 3))
+    t.append(_mk(spark, 3, 6))
+
+    # simulate writer B mid-_commit: marker placed, data written, lock not
+    # yet taken (exactly the state between lake._mark_inflight and
+    # lake._finish_commit)
+    commit_dir = "c_inflight_test_dir"
+    t._mark_inflight(commit_dir)
+    abs_dir = os.path.join(str(tmp_path / "t"), "data", commit_dir)
+    _mk(spark, 6, 9).write.mode("overwrite").parquet(abs_dir)
+
+    deleted = t.expire_snapshots(keep_last=1)
+    assert commit_dir not in deleted and os.path.isdir(abs_dir)
+
+    # writer B finishes: the commit must read back whole
+    sid = t._finish_commit(commit_dir, "append", None, None)
+    assert t.read(spark, snapshot_id=sid).count() == 9
+    # marker was cleared by the finished commit
+    assert t._inflight_age_s(commit_dir) is None
+
+    # a crashed writer's dir: marker never cleared, grace elapsed → GC'd
+    t._mark_inflight("c_crashed_writer")
+    os.makedirs(os.path.join(str(tmp_path / "t"), "data", "c_crashed_writer"))
+    deleted = t.expire_snapshots(keep_last=1, in_flight_grace_s=0.0)
+    assert "c_crashed_writer" in deleted
+    assert t.read(spark).count() == 9

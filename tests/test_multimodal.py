@@ -318,3 +318,29 @@ def test_curate_pairs_verdicts(spark):
     assert got["d_corrupt"]["w"] is None and got["d_corrupt"]["score"] is not None
     # the too_small image never reaches the near-dup join but keeps metrics
     assert got["e_small"]["w"] == 16 and got["e_small"]["ws_tokens"] == 14
+
+
+def test_ffprobe_path_resolution(tmp_path, monkeypatch):
+    """ffprobe is looked up next to ffmpeg, then on PATH — never derived by
+    substring surgery on the ffmpeg path (a dir named .../ffmpeg-6/...
+    would mangle every component)."""
+    import os
+    import stat
+
+    import web_crawler_spark.operators.multimodal as M
+
+    bindir = tmp_path / "opt" / "ffmpeg-6" / "bin"
+    bindir.mkdir(parents=True)
+    for name in ("ffmpeg", "ffprobe"):
+        p = bindir / name
+        p.write_text("#!/bin/sh\nexit 0\n")
+        p.chmod(p.stat().st_mode | stat.S_IXUSR | stat.S_IXGRP | stat.S_IXOTH)
+
+    M._reset_codec_probes()
+    monkeypatch.setattr(M, "_FFMPEG", str(bindir / "ffmpeg"))
+    try:
+        got = M.ffprobe_path()
+        assert got == str(bindir / "ffprobe")
+        assert "ffmpeg" in os.path.dirname(got)  # dir untouched by lookup
+    finally:
+        M._reset_codec_probes()

@@ -44,10 +44,14 @@ _OUT_SCHEMA = (
 def build_zip_bytes(members: Iterable[tuple[str, bytes]]) -> bytes:
     """Deterministic in-memory zip: name-sorted members, ZIP_DEFLATED
     (routes.py:470), fixed timestamp. Pure function — unit-testable and
-    shared by engine and tests."""
+    shared by engine and tests. Ties on arcname (the same file written
+    twice, e.g. a K1 output re-materialized on retry) are broken by
+    content, so the bytes stay a pure function of the member MULTISET —
+    name-only sorting is stable and would preserve the partition-dependent
+    arrival order of duplicates."""
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
-        for arcname, data in sorted(members, key=lambda m: m[0]):
+        for arcname, data in sorted(members, key=lambda m: (m[0], m[1])):
             zi = zipfile.ZipInfo(arcname, date_time=_ZIP_EPOCH)
             zi.compress_type = zipfile.ZIP_DEFLATED
             zf.writestr(zi, data)

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import release_frame
+
 RANK_SCALE = 1_000_000
 DAMPING_NUM, DAMPING_DEN = 85, 100  # 0.85 as an exact integer ratio
 
@@ -58,6 +60,7 @@ def pagerank(
     base = (RANK_SCALE * (DAMPING_DEN - DAMPING_NUM)) // DAMPING_DEN
 
     ranks = nodes.select("node", F.lit(RANK_SCALE).cast("long").alias("rank_int"))
+    prev_ckpt = None  # rank⁰ is a projection of nodes — nothing to free yet
     for _ in range(iters):
         contrib = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -80,6 +83,19 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        # the new iterate is materialized; last round's blocks are dead —
+        # free them now instead of waiting on nondeterministic JVM GC
+        # (an iterative operator otherwise holds O(iters) frames at peak)
+        if prev_ckpt is not None:
+            release_frame(prev_ckpt)
+        prev_ckpt = ranks
+    if prev_ckpt is not None:
+        # ≥1 iteration ran: the final iterate is self-contained (lineage
+        # truncated), so the edge/node checkpoints are no longer readable
+        # through any returned frame. With iters=0 the returned rank⁰
+        # still projects straight off ``nodes`` — keep them.
+        release_frame(e)
+        release_frame(nodes)
     return ranks.select(
         "node",
         "rank_int",

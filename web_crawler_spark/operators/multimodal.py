@@ -25,6 +25,7 @@ sampling is pure byte slicing — no codec in the hot loop.
 
 from __future__ import annotations
 
+import os
 import zlib
 from collections.abc import Iterator
 
@@ -97,6 +98,7 @@ def media_meta(df: DataFrame, *, bytes_col: str = "bytes") -> DataFrame:
 _UNSET = object()
 _PIL_IMAGE = _UNSET
 _FFMPEG = _UNSET
+_FFPROBE = _UNSET
 
 
 def _pil_image_module():
@@ -125,10 +127,31 @@ def ffmpeg_path() -> str | None:
     return _FFMPEG
 
 
+def ffprobe_path() -> str | None:
+    """Path to an ffprobe binary, probed once per process; None when absent.
+    Looked up next to ffmpeg first (the usual install layout), then on
+    PATH — never derived by string surgery on the ffmpeg path (a directory
+    named ``.../ffmpeg-6/...`` would mangle every component)."""
+    global _FFPROBE
+    if _FFPROBE is _UNSET:
+        import shutil
+
+        _FFPROBE = None
+        ff = ffmpeg_path()
+        if ff is not None:
+            sibling = os.path.join(os.path.dirname(ff), "ffprobe")
+            if os.path.isfile(sibling) and os.access(sibling, os.X_OK):
+                _FFPROBE = sibling
+        if _FFPROBE is None:
+            _FFPROBE = shutil.which("ffprobe")
+    return _FFPROBE
+
+
 def _reset_codec_probes() -> None:
-    global _PIL_IMAGE, _FFMPEG
+    global _PIL_IMAGE, _FFMPEG, _FFPROBE
     _PIL_IMAGE = _UNSET
     _FFMPEG = _UNSET
+    _FFPROBE = _UNSET
 
 
 def _decode_blob(blob: bytes) -> np.ndarray:
@@ -273,17 +296,18 @@ def decode_video_frames(blob: bytes, every: int = 1) -> list[np.ndarray]:
             for j, fr in enumerate(unpack_frames(blob))
             if j % every == 0
         ]
-    ff = ffmpeg_path()
-    if ff is None:
+    ff, fp = ffmpeg_path(), ffprobe_path()
+    if ff is None or fp is None:
         raise NotImplementedError(
-            "real-container video decode requires ffmpeg; not available here"
+            "real-container video decode requires ffmpeg+ffprobe; "
+            "not available here"
         )
     import json as _json
     import subprocess
 
     probe = subprocess.run(
         [
-            ff.replace("ffmpeg", "ffprobe"), "-v", "error", "-select_streams",
+            fp, "-v", "error", "-select_streams",
             "v:0", "-show_entries", "stream=width,height", "-of", "json", "-",
         ],
         input=blob, capture_output=True, check=True,
@@ -388,16 +412,22 @@ def phash_table(
     )
 
 
-def _pairs_from_hashes(
-    ph: DataFrame, *, max_hamming: int, bands: int
+def _band_explode(
+    df: DataFrame, id_col: str, id_out: str, ph_out: str, *, bands: int
 ) -> DataFrame:
-    """Banded self-join over a non-null (media_id, phash) frame."""
-    assert bands >= max_hamming + 1, "need bands > max_hamming for exact recall"
+    """One row per (id, band) with the band's chunk of the 64-bit phash —
+    the shared band-explode of the self-join (``_pairs_from_hashes``) and
+    the probe-vs-index join (``banded_matches``). One definition so the
+    band count / masking / unsigned-shift handling can never diverge
+    between the batch and streaming near-dup paths (stream admission
+    depends on both computing identical (band_idx, band_val) keys).
+    ``shiftrightunsigned`` because phash is a SIGNED long: an arithmetic
+    shift would smear the sign bit across high bands."""
     assert 64 % bands == 0, "bands must divide 64"
     chunk = 64 // bands
-    bandified = ph.select(
-        "media_id",
-        "phash",
+    return df.select(
+        F.col(id_col).alias(id_out),
+        F.col("phash").alias(ph_out),
         F.posexplode(
             F.array(
                 *[
@@ -409,6 +439,14 @@ def _pairs_from_hashes(
             )
         ).alias("band_idx", "band_val"),
     )
+
+
+def _pairs_from_hashes(
+    ph: DataFrame, *, max_hamming: int, bands: int
+) -> DataFrame:
+    """Banded self-join over a non-null (media_id, phash) frame."""
+    assert bands >= max_hamming + 1, "need bands > max_hamming for exact recall"
+    bandified = _band_explode(ph, "media_id", "media_id", "phash", bands=bands)
     a = bandified.alias("a")
     b = bandified.alias("b")
     cand = (
@@ -447,27 +485,8 @@ def banded_matches(
     on (band_idx, band_val), no all-pairs stage. Inputs: (pair_id, phash)
     with non-null phash."""
     assert bands >= max_hamming + 1, "need bands > max_hamming for exact recall"
-    assert 64 % bands == 0, "bands must divide 64"
-    chunk = 64 // bands
-
-    def bandify(df: DataFrame, idc: str, phc: str) -> DataFrame:
-        return df.select(
-            F.col("pair_id").alias(idc),
-            F.col("phash").alias(phc),
-            F.posexplode(
-                F.array(
-                    *[
-                        F.shiftrightunsigned(F.col("phash"), b * chunk).bitwiseAND(
-                            F.lit((1 << chunk) - 1).cast("long")
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("band_idx", "band_val"),
-        )
-
-    p = bandify(probe, "probe_id", "ph_p")
-    x = bandify(index, "index_id", "ph_x")
+    p = _band_explode(probe, "pair_id", "probe_id", "ph_p", bands=bands)
+    x = _band_explode(index, "pair_id", "index_id", "ph_x", bands=bands)
     return (
         p.join(x, ["band_idx", "band_val"])
         .filter(

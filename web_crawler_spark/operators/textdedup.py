@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import SIMHASH_BITS, md5_long, shingle_hashes
+from ..session import release_frame
 
 DEFAULT_PERMS = 32
 # 4 bands × 8 rows: r=8 keeps moderate-similarity pairs (J≈0.4-0.5, which
@@ -269,6 +270,7 @@ def connected_components(
         .select("doc", F.col("doc").alias("label"))
         .localCheckpoint(eager=True)
     )
+    prev_ckpt = labels  # the checkpoint the CURRENT labels frame reads
     converged = False
     for _ in range(max_iters):
         nbr = (
@@ -307,10 +309,17 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+        # the new checkpoint is materialized; the previous round's blocks
+        # are now dead — free them eagerly (context-cleaner GC is
+        # nondeterministic, and an iterative operator otherwise holds
+        # O(iters) label frames at peak)
+        release_frame(prev_ckpt)
+        prev_ckpt = new_labels
         labels = new_labels.select("doc", "label")
         if changed == 0:
             converged = True
             break
+    release_frame(edges)  # no longer read: the final labels are truncated
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} iterations"

@@ -41,6 +41,7 @@ from ..operators.errors import classify_fetch
 from ..operators.membership import DistributedSeenTiers, SeenTiers, load_tiers
 from ..operators.politeness import assign_fetch_seq, robots_filter, select_per_host
 from ..schemas import FETCH_LOG, FRONTIER, LINEAGE, METRICS, PHASH_SEEN, SEEN
+from ..session import release_frame as _release
 from ..sources.lake import SnapshotTable
 
 _FETCH_LOG_COLS = [f.name for f in FETCH_LOG.fields]
@@ -88,7 +89,15 @@ class CrawlRun:
         robots: DataFrame,
         config: CrawlConfig | None = None,
     ):
-        self.spark = spark
+        # round jobs execute on a PRIVATE cloned session (same
+        # SparkContext, own SQLConf): the round-scoped AQE flips in
+        # ``_round_confs`` are session-global while they hold, so on the
+        # caller's session they would leak into whatever a concurrent
+        # ingest stream / ad-hoc query happens to plan mid-round (the
+        # README explicitly sanctions that concurrency). The clone
+        # inherits every context-level conf (session.py pins them at JVM
+        # launch) but isolates runtime mutation in both directions.
+        self.spark = spark.newSession()
         self.run_dir = run_dir
         self.config = config or CrawlConfig()
         self.urls = urls
@@ -334,6 +343,10 @@ class CrawlRun:
     # the round's fixed cost. Globally this setting is wrong (compressed
     # shuffle sizes under-estimate row volume on repetitive data and idle
     # the cluster on big scans — see session.py), hence the per-round scope.
+    # The set/unset below mutates SQLConf on ``self.spark`` — the
+    # __init__-cloned PRIVATE session nothing else plans against — so the
+    # flip is invisible to concurrent work on the caller's session; the
+    # unset keeps this run's own maintain()/resume jobs on the defaults.
     _ROUND_CONFS = {
         "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
@@ -680,10 +693,19 @@ class CrawlRun:
             LINEAGE,
         )
 
-        for df_ in (frontier, best, allowed, blocked, batch, fetched, discovered):
-            df_.unpersist()
+        for df_ in (
+            frontier,
+            best,
+            allowed,
+            blocked,
+            selected,
+            batch,
+            fetched,
+            discovered,
+        ):
+            _release(df_)
         if probed is not None:
-            probed.unpersist()
+            _release(probed)
         self.round = rnd
         self._checkpoint(extra=checkpoint_extra)
         return {"round": rnd, **counts, **tier_counts}

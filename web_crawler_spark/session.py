@@ -75,3 +75,44 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
+
+
+def release_frame(df, deep: bool = False) -> None:
+    """Free a materialized frame's storage deterministically.
+
+    ``DataFrame.unpersist()`` only drops CacheManager entries, so it is a
+    silent no-op on a ``localCheckpoint``ed frame: those MEMORY_AND_DISK
+    blocks belong to the internal checkpointed RDD (a ``LogicalRDD``
+    leaf) and are otherwise freed only when the JVM-side object happens
+    to be GC'd. A long-lived driver that checkpoints per round / per
+    micro-batch (the crawl loop, the pair-admission stream) accumulates
+    dead blocks nondeterministically between GCs; this releases them at
+    the caller's documented cleanup point instead.
+
+    ``deep=True`` walks the analyzed plan and releases EVERY LogicalRDD
+    leaf under it — for a derived frame (projection/join over one or more
+    checkpoints) after its outputs are fully materialized. Only safe when
+    the caller owns every checkpoint in the plan; a shared checkpoint
+    (another live frame reading the same blocks) would be torn down with
+    it. In either mode the frame must never be read again afterwards —
+    lineage was truncated at the checkpoint, so there is nothing left to
+    recompute from."""
+    try:
+        if _release_plan(df._jdf.queryExecution().analyzed(), deep):
+            return
+    except Exception:  # Connect or API drift: fall back to the cache path
+        pass
+    df.unpersist()
+
+
+def _release_plan(plan, deep: bool) -> bool:
+    if plan.getClass().getSimpleName() == "LogicalRDD":
+        plan.rdd().unpersist(False)
+        return True
+    if not deep:
+        return False
+    hit = False
+    it = plan.children().iterator()
+    while it.hasNext():
+        hit = _release_plan(it.next(), True) or hit
+    return hit

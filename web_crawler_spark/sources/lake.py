@@ -97,8 +97,10 @@ class SnapshotTable:
         self._meta_cache: dict[str, tuple] = {}
         self._snap_dir = os.path.join(path, "snapshots")
         self._data_dir = os.path.join(path, "data")
+        self._inflight_dir = os.path.join(path, "_inflight")
         os.makedirs(self._snap_dir, exist_ok=True)
         os.makedirs(self._data_dir, exist_ok=True)
+        os.makedirs(self._inflight_dir, exist_ok=True)
 
     # -- metadata ----------------------------------------------------------
 
@@ -133,6 +135,42 @@ class SnapshotTable:
                 except ValueError:
                     pass
         return best
+
+    def _mark_inflight(self, commit_dir: str) -> None:
+        """Register a data dir as belonging to an in-flight commit BEFORE
+        any bytes land. Data dirs are deliberately written OUTSIDE the
+        commit lock (the expensive distributed write must not serialize
+        writers), so until ``_finish_commit`` references them in a
+        manifest they are indistinguishable from orphans — without this
+        marker a concurrent ``expire_snapshots()`` could delete a dir
+        another writer is about to commit, leaving the committed snapshot
+        pointing at missing files. The marker carries its creation time;
+        a crashed writer's stale marker is garbage-collected by expire
+        after the grace window."""
+        tmp = os.path.join(self._inflight_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(time.time()))
+        os.replace(tmp, os.path.join(self._inflight_dir, commit_dir))
+
+    def _clear_inflight(self, commit_dir: str) -> None:
+        try:
+            os.remove(os.path.join(self._inflight_dir, commit_dir))
+        except FileNotFoundError:
+            pass
+
+    def _inflight_age_s(self, commit_dir: str) -> float | None:
+        """Seconds since the marker was created, or None when no marker."""
+        p = os.path.join(self._inflight_dir, commit_dir)
+        try:
+            with open(p) as f:
+                return time.time() - float(f.read().strip())
+        except FileNotFoundError:
+            return None
+        except (ValueError, OSError):
+            try:
+                return time.time() - os.path.getmtime(p)
+            except OSError:
+                return None
 
     def _commit_stats(self, spark, abs_dir: str) -> dict:
         """Min/max + row count for ``stats_cols`` of one freshly written
@@ -236,6 +274,9 @@ class SnapshotTable:
             with open(tmp2, "w") as f:
                 f.write(str(new_id))
             os.replace(tmp2, os.path.join(self.path, "_current"))
+            # the manifest now references the data dir: it is no longer an
+            # orphan candidate, so the in-flight marker has done its job
+            self._clear_inflight(commit_dir)
             return new_id
 
     def _commit(self, df: DataFrame, op: str, meta: dict | None = None) -> int:
@@ -245,6 +286,7 @@ class SnapshotTable:
         # assigned under the lock.
         commit_dir = f"c_{uuid.uuid4().hex[:16]}"
         abs_dir = os.path.join(self._data_dir, commit_dir)
+        self._mark_inflight(commit_dir)
         df.write.mode("overwrite").parquet(abs_dir)
         stats_entry = (
             self._commit_stats(df.sparkSession, abs_dir) if self.stats_cols else None
@@ -271,6 +313,7 @@ class SnapshotTable:
 
         commit_dir = f"c_{uuid.uuid4().hex[:16]}"
         abs_dir = os.path.join(self._data_dir, commit_dir)
+        self._mark_inflight(commit_dir)
         os.makedirs(abs_dir, exist_ok=True)
         arrow_schema = pa.schema(
             [(f.name, _arrow_type(f.dataType)) for f in schema.fields]
@@ -394,13 +437,24 @@ class SnapshotTable:
             meta["carried_meta"] = {k: sorted(vs) for k, vs in carried.items()}
         return self.overwrite(self.read(spark), meta=meta)
 
-    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+    def expire_snapshots(
+        self, keep_last: int = 1, in_flight_grace_s: float = 6 * 3600.0
+    ) -> list[str]:
         """Drop all but the last ``keep_last`` snapshots reachable from the
         current one, delete manifests of unreachable snapshots (abandoned
         rollback branches included), and remove data dirs no retained
         manifest references (the Iceberg expire_snapshots maintenance op).
         Time travel to expired snapshots stops working — by design.
-        Returns the deleted data dirs."""
+        Returns the deleted data dirs.
+
+        A dir carrying a LIVE in-flight marker (a concurrent writer wrote
+        its data but has not yet taken the commit lock) is never deleted:
+        commits land data outside the lock by design, so "unreferenced"
+        alone does not mean orphaned. Markers older than
+        ``in_flight_grace_s`` (default 6h — longer than any sane
+        distributed write) are treated as crashed writers: marker and dir
+        are garbage-collected together. Iceberg's remove_orphan_files has
+        the same grace-window shape for the same race."""
         import shutil
 
         with self._commit_lock():
@@ -421,11 +475,19 @@ class SnapshotTable:
                 if m["id"] not in keep_ids:
                     os.remove(os.path.join(self._snap_dir, f"s{m['id']:08d}.json"))
             for d in os.listdir(self._data_dir):
-                if d not in keep_dirs:
-                    shutil.rmtree(
-                        os.path.join(self._data_dir, d), ignore_errors=True
-                    )
-                    deleted.append(d)
+                if d in keep_dirs:
+                    # referenced: a leftover marker means the writer crashed
+                    # between manifest write and marker removal — tidy it
+                    self._clear_inflight(d)
+                    continue
+                age = self._inflight_age_s(d)
+                if age is not None and age < in_flight_grace_s:
+                    continue  # live in-flight commit — not an orphan
+                self._clear_inflight(d)
+                shutil.rmtree(
+                    os.path.join(self._data_dir, d), ignore_errors=True
+                )
+                deleted.append(d)
             # the oldest retained snapshot may reference a now-expired parent
             # id; retained manifests themselves are untouched (parent
             # pointers to expired snapshots simply dangle, same as Iceberg)

@@ -42,6 +42,7 @@ from ..operators.multimodal import (
     pair_metrics,
 )
 from ..schemas import ADMITTED_PAIRS
+from ..session import release_frame
 
 PAIR_STREAM_SCHEMA = "pair_id string, bytes binary, caption string"
 
@@ -101,6 +102,12 @@ def admit_pair_batch(
     )
     admitted = reps.join(dupes, "pair_id", "left_anti")
     admitted_table.append(admitted, meta={"pair_batch_id": batch_id})
+    # the append above fully materialized everything downstream of this
+    # batch's checkpoints (the metrics frame + the component labels, both
+    # leaves of admitted's plan and owned by nobody else) — free their
+    # blocks now, or a long-running stream accrues one batch's worth of
+    # dead storage per trigger
+    release_frame(admitted, deep=True)
 
 
 def admit_pair_stream(
