@@ -352,3 +352,20 @@ def test_expire_spares_inflight_commit_dirs(spark, tmp_path):
     deleted = t.expire_snapshots(keep_last=1, in_flight_grace_s=0.0)
     assert "c_crashed_writer" in deleted
     assert t.read(spark).count() == 9
+
+
+def test_expire_gcs_dirless_stale_markers(spark, tmp_path):
+    """A marker whose data dir never materialized (writer failed between
+    marking and writing) must still be garbage-collected past the grace
+    window, or _inflight/ grows without bound."""
+    import os
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.overwrite(_mk(spark, 0, 3))
+    t._mark_inflight("c_never_written")
+    marker = os.path.join(str(tmp_path / "t"), "_inflight", "c_never_written")
+    assert os.path.exists(marker)
+    t.expire_snapshots(keep_last=1)  # within grace: kept
+    assert os.path.exists(marker)
+    t.expire_snapshots(keep_last=1, in_flight_grace_s=0.0)
+    assert not os.path.exists(marker)

@@ -146,6 +146,44 @@ def test_round_releases_all_storage_blocks(spark, tmp_path):
     leaked = block_ids() - before
     assert not leaked, f"storage blocks leaked by the round loop: {leaked}"
 
+    # follow_links=False: ``discovered`` is then a PERSISTED empty local
+    # frame whose plan root is a LogicalRDD — release must clear the
+    # CacheManager entry too, not just checkpoint blocks (r3 self-review)
+    run2 = CrawlRun(
+        spark,
+        str(tmp_path / "run2"),
+        urls=load_fixture(spark, d, "urls"),
+        links=load_fixture(spark, d, "links"),
+        pages=load_fixture(spark, d, "pages"),
+        robots=load_fixture(spark, d, "robots"),
+        config=CrawlConfig(max_rounds=2, follow_links=False),
+    )
+    run2.start(seeds_df)
+    run2.run()
+    leaked = block_ids() - before
+    assert not leaked, f"blocks leaked with follow_links=False: {leaked}"
+
+    # pagerank mode: only the run-lifetime rank table may survive a round,
+    # and releasing it must leave zero blocks
+    from web_crawler_spark.session import release_frame
+
+    run3 = CrawlRun(
+        spark,
+        str(tmp_path / "run3"),
+        urls=load_fixture(spark, d, "urls"),
+        links=load_fixture(spark, d, "links"),
+        pages=load_fixture(spark, d, "pages"),
+        robots=load_fixture(spark, d, "robots"),
+        config=CrawlConfig(max_rounds=2, priority_source="pagerank"),
+    )
+    run3.start(seeds_df)
+    run3.run()
+    leaked = block_ids() - before
+    assert len(leaked) <= 1, f"pagerank mode may retain only _rank_df: {leaked}"
+    release_frame(run3._rank_df)
+    leaked = block_ids() - before
+    assert not leaked, f"blocks leaked in pagerank mode: {leaked}"
+
 
 def test_round_confs_do_not_leak_into_caller_session(spark, tmp_path):
     """The round-scoped AQE flips run on CrawlRun's private cloned session;
@@ -175,6 +213,23 @@ def test_round_confs_do_not_leak_into_caller_session(spark, tmp_path):
     )
     assert run.spark is not spark  # private clone, same context
     assert run.spark.sparkContext is spark.sparkContext
+    # runtime conf.set calls made by the caller BEFORE construction must
+    # carry over (newSession alone rebuilds from context confs only)
+    probe_key = "spark.sql.maxSinglePartitionBytes"
+    caller_val = spark.conf.get(probe_key)
+    spark.conf.set(probe_key, "123456789b")
+    try:
+        run_probe = CrawlRun(
+            spark,
+            str(tmp_path / "run_probe"),
+            urls=load_fixture(spark, d, "urls"),
+            links=load_fixture(spark, d, "links"),
+            pages=load_fixture(spark, d, "pages"),
+            robots=load_fixture(spark, d, "robots"),
+        )
+        assert run_probe.spark.conf.get(probe_key) == "123456789b"
+    finally:
+        spark.conf.set(probe_key, caller_val)
     run.start(
         spark.createDataFrame(
             [(i, u) for i, u in enumerate(seeds.url)], ["row_index", "url"]

@@ -48,6 +48,29 @@ _FETCH_LOG_COLS = [f.name for f in FETCH_LOG.fields]
 _FRONTIER_COLS = [f.name for f in FRONTIER.fields]
 
 
+def _clone_session(spark: SparkSession) -> SparkSession:
+    """A private session sharing ``spark``'s SparkContext, carrying over
+    the caller's effective SQL confs. ``newSession()`` alone rebuilds
+    SessionState from the context conf, dropping anything set at runtime
+    via ``spark.conf.set``; the copy below replays the caller's explicit
+    settings onto the clone (static/immutable confs are skipped — they
+    cannot differ between sessions anyway)."""
+    clone = spark.newSession()
+    try:
+        it = spark._jsparkSession.sessionState().conf().getAllConfs().iterator()
+        while it.hasNext():
+            kv = it.next()
+            k, v = kv._1(), kv._2()
+            try:
+                if clone.conf.get(k, None) != v:
+                    clone.conf.set(k, v)
+            except Exception:
+                pass  # static conf or unknown key: cannot / need not copy
+    except Exception:
+        pass  # Connect or API drift: clone still inherits context confs
+    return clone
+
+
 @dataclass
 class CrawlConfig:
     default_host_budget: int = 4
@@ -94,10 +117,12 @@ class CrawlRun:
         # ``_round_confs`` are session-global while they hold, so on the
         # caller's session they would leak into whatever a concurrent
         # ingest stream / ad-hoc query happens to plan mid-round (the
-        # README explicitly sanctions that concurrency). The clone
-        # inherits every context-level conf (session.py pins them at JVM
-        # launch) but isolates runtime mutation in both directions.
-        self.spark = spark.newSession()
+        # README explicitly sanctions that concurrency). newSession()
+        # starts from context-level confs only, so the caller's RUNTIME
+        # conf.set calls (timezone, ANSI, shuffle partitions, ...) are
+        # copied across explicitly — otherwise round jobs would silently
+        # plan under different semantics than the rest of the app.
+        self.spark = _clone_session(spark)
         self.run_dir = run_dir
         self.config = config or CrawlConfig()
         self.urls = urls
@@ -330,11 +355,18 @@ class CrawlRun:
                 U.url_hash(F.col("src_url")).alias("src"),
                 U.url_hash(F.col("child_url")).alias("dst"),
             )
-            self._rank_df = (
-                pagerank(edges, iters=self.config.pagerank_iters)
-                .select(F.col("node").alias("url_hash"), "rank_int")
-                .localCheckpoint(eager=True)
+            # NOTE: these edge/rank jobs derive from the caller-session
+            # links frame, so they plan OUTSIDE _ROUND_CONFS — correct by
+            # intent: the graph pass is a real data job that wants default
+            # parallelism-first coalescing, not the tiny-stage round flips.
+            ranked = pagerank(edges, iters=self.config.pagerank_iters).select(
+                F.col("node").alias("url_hash"), "rank_int"
             )
+            self._rank_df = ranked.localCheckpoint(eager=True)
+            # _rank_df is now self-contained; free pagerank's final-iterate
+            # checkpoint that ``ranked`` still projects over (a LogicalRDD
+            # leaf under the projection, owned here only — hence deep)
+            _release(ranked, deep=True)
         return self._rank_df
 
     # AQE coalescing for ROUND jobs only: a scheduling round is dozens of

@@ -96,11 +96,16 @@ def release_frame(df, deep: bool = False) -> None:
     (another live frame reading the same blocks) would be torn down with
     it. In either mode the frame must never be read again afterwards —
     lineage was truncated at the checkpoint, so there is nothing left to
-    recompute from."""
+    recompute from.
+
+    ``df.unpersist()`` runs unconditionally as well (a no-op on uncached
+    frames): a frame can hold BOTH storages at once — e.g.
+    ``createDataFrame([]).persist()`` analyzes to a LogicalRDD root yet
+    its materialization lives in the CacheManager — and releasing only
+    the RDD blocks would strand the cache entry."""
     try:
-        if _release_plan(df._jdf.queryExecution().analyzed(), deep):
-            return
-    except Exception:  # Connect or API drift: fall back to the cache path
+        _release_plan(df._jdf.queryExecution().analyzed(), deep)
+    except Exception:  # Connect or API drift: the cache path still runs
         pass
     df.unpersist()
 

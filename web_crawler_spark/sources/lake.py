@@ -488,6 +488,17 @@ class SnapshotTable:
                     os.path.join(self._data_dir, d), ignore_errors=True
                 )
                 deleted.append(d)
+            # markers whose data dir never materialized (writer failed
+            # between marking and writing): invisible to the loop above,
+            # so GC them here past the grace window or _inflight/ grows
+            # without bound on a table with occasional failed commits
+            live_dirs = set(os.listdir(self._data_dir))
+            for d in os.listdir(self._inflight_dir):
+                if d.startswith(".tmp-") or d in live_dirs:
+                    continue
+                age = self._inflight_age_s(d)
+                if age is not None and age >= in_flight_grace_s:
+                    self._clear_inflight(d)
             # the oldest retained snapshot may reference a now-expired parent
             # id; retained manifests themselves are untouched (parent
             # pointers to expired snapshots simply dangle, same as Iceberg)
