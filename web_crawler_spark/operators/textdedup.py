@@ -25,7 +25,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import SIMHASH_BITS, md5_long, shingle_hashes
@@ -272,7 +272,7 @@ def connected_components(
     )
     prev_ckpt = labels  # the checkpoint the CURRENT labels frame reads
     converged = False
-    for _ in range(max_iters):
+    for it_n in range(max_iters):
         nbr = (
             edges.join(
                 labels.select(F.col("doc").alias("dst"), F.col("label").alias("nl")),
@@ -297,6 +297,13 @@ def connected_components(
         # ids present in the frame, so the lookup is a self-join); chains
         # compress geometrically → O(log diameter) rounds
         parent = step.select(F.col("doc").alias("label"), F.col("label").alias("jl"))
+        # the convergence counter rides the checkpoint materialization as
+        # an observed metric (CollectMetrics fires during the eager
+        # checkpoint's action), so each round costs ONE job, not a
+        # checkpoint job plus a count job — at production scale the data
+        # work dominates, but driver fixed cost per iteration is exactly
+        # what an O(log diameter) loop multiplies
+        obs = Observation(f"cc_changed_{it_n}")
         new_labels = (
             step.join(parent, "label", "left")
             .select(
@@ -306,9 +313,15 @@ def connected_components(
                 ).alias("label"),
                 "old_label",
             )
+            .observe(
+                obs,
+                F.count(
+                    F.when(F.col("label") != F.col("old_label"), 1)
+                ).alias("changed"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+        changed = obs.get["changed"]
         # the new checkpoint is materialized; the previous round's blocks
         # are now dead — free them eagerly (context-cleaner GC is
         # nondeterministic, and an iterative operator otherwise holds
