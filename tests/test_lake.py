@@ -367,5 +367,10 @@ def test_expire_gcs_dirless_stale_markers(spark, tmp_path):
     assert os.path.exists(marker)
     t.expire_snapshots(keep_last=1)  # within grace: kept
     assert os.path.exists(marker)
+    # a writer that died mid-_mark_inflight leaves a .tmp- file — same GC
+    tmp_marker = os.path.join(str(tmp_path / "t"), "_inflight", ".tmp-dead")
+    with open(tmp_marker, "w") as f:
+        f.write("0.0")
     t.expire_snapshots(keep_last=1, in_flight_grace_s=0.0)
     assert not os.path.exists(marker)
+    assert not os.path.exists(tmp_marker)

@@ -89,12 +89,11 @@ def pagerank(
         if prev_ckpt is not None:
             release_frame(prev_ckpt)
         prev_ckpt = ranks
+    # the returned frame never reads the edge checkpoint (rank⁰ projects
+    # off ``nodes`` only; later iterates are lineage-truncated), so edges
+    # are always releasable here. ``nodes`` stays alive only for iters=0.
+    release_frame(e)
     if prev_ckpt is not None:
-        # ≥1 iteration ran: the final iterate is self-contained (lineage
-        # truncated), so the edge/node checkpoints are no longer readable
-        # through any returned frame. With iters=0 the returned rank⁰
-        # still projects straight off ``nodes`` — keep them.
-        release_frame(e)
         release_frame(nodes)
     return ranks.select(
         "node",

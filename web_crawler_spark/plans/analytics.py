@@ -2109,20 +2109,54 @@ def _phash_image_id(pk: int) -> str:
     return f"img_{pk - 7}~d1" if pk % 8 == 7 else f"img_{pk}"
 
 
+_CORPUS_VERSION_CACHE: list[str] = []
+
+
+def _corpus_version() -> str:
+    """Content hash over the corpus GENERATORS, baked into the cache key:
+    unlike oracle expected files (outputs pinned by reference semantics),
+    the corpora are synthetic INPUTS whose generators this repo iterates
+    on — existence==freshness alone would silently serve stale blobs
+    after a generator edit. Hashing the generator sources makes any such
+    edit a new cache key automatically."""
+    if not _CORPUS_VERSION_CACHE:
+        import hashlib as _hashlib
+        import inspect as _inspect
+
+        from ..functions import images as _I
+
+        parts = [
+            _inspect.getsource(f)
+            for f in (
+                _I.render_pixels,
+                _I.encode_image,
+                _phash_image_id,
+                _gen_phash_corpus,
+                _gen_pair_corpus,
+                _pair_side,
+            )
+        ]
+        parts.append(str(_PAIR_DOC_MOD))
+        h = _hashlib.md5("\n".join(parts).encode()).hexdigest()[:10]
+        _CORPUS_VERSION_CACHE.append(h)
+    return _CORPUS_VERSION_CACHE[0]
+
+
 def _materialized_corpus(spark, sf_dir: str, name: str, builder) -> DataFrame:
     """Generate-once media corpus: production media tables arrive STORED
     (the crawl wrote the blobs); re-encoding a synthetic corpus inside
     every timed query invocation charges fixture construction to the
     operator under test. First call materializes the deterministic corpus
-    to an sf_dir-keyed parquet (pure function of the path — existence ==
-    freshness, the oracle expected-file rule); later calls scan it. The
-    post-read repartition keeps the downstream Python decode stage honest
-    about parallelism (the small files would otherwise coalesce into a
-    couple of scan splits)."""
+    to a parquet keyed by (sf_dir, generator-source hash) — a pure
+    function of the path, and a generator edit rolls the key (see
+    ``_corpus_version``); later calls scan it. The post-read repartition
+    keeps the downstream Python decode stage honest about parallelism
+    (the small files would otherwise coalesce into a couple of scan
+    splits)."""
     import shutil as _shutil
     import uuid as _uuid
 
-    path = _expected_keyed_path(name, sf_dir)
+    path = _expected_keyed_path(f"{name}-{_corpus_version()}", sf_dir)
     if not _os.path.exists(path):
         tmp = f"{path}.tmp-{_uuid.uuid4().hex}"
         builder().write.mode("overwrite").parquet(tmp)

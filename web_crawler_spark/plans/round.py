@@ -50,11 +50,16 @@ _FRONTIER_COLS = [f.name for f in FRONTIER.fields]
 
 def _clone_session(spark: SparkSession) -> SparkSession:
     """A private session sharing ``spark``'s SparkContext, carrying over
-    the caller's effective SQL confs. ``newSession()`` alone rebuilds
+    the caller's effective session state. ``newSession()`` alone rebuilds
     SessionState from the context conf, dropping anything set at runtime
-    via ``spark.conf.set``; the copy below replays the caller's explicit
-    settings onto the clone (static/immutable confs are skipped — they
-    cannot differ between sessions anyway)."""
+    via ``spark.conf.set``. The JVM's ``cloneSession()`` copies runtime
+    confs (plus temp views/UDFs) while staying fully isolated — mutations
+    on either side never cross; if that internal API ever drifts, fall
+    back to ``newSession()`` plus an explicit conf replay."""
+    try:
+        return SparkSession(spark.sparkContext, spark._jsparkSession.cloneSession())
+    except Exception:
+        pass
     clone = spark.newSession()
     try:
         it = spark._jsparkSession.sessionState().conf().getAllConfs().iterator()

@@ -492,9 +492,12 @@ class SnapshotTable:
             # between marking and writing): invisible to the loop above,
             # so GC them here past the grace window or _inflight/ grows
             # without bound on a table with occasional failed commits
+            # (.tmp- entries — a writer that died mid-_mark_inflight — age
+            # the same way: their content is the creation timestamp, so the
+            # grace check below GCs them too rather than skipping forever)
             live_dirs = set(os.listdir(self._data_dir))
             for d in os.listdir(self._inflight_dir):
-                if d.startswith(".tmp-") or d in live_dirs:
+                if d in live_dirs:
                     continue
                 age = self._inflight_age_s(d)
                 if age is not None and age >= in_flight_grace_s:
