@@ -55,6 +55,12 @@ def test_pair_stream_admits_curated_first_wins(spark, tmp_path):
     (first-admitted-wins across batches)."""
     pairs_dir = _make_stream_dirs(tmp_path)
     table = SnapshotTable(str(tmp_path / "admitted"))
+
+    def block_ids():
+        sc = spark.sparkContext
+        return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+
+    before = block_ids()
     q = admit_pair_stream(
         spark, str(pairs_dir), table, str(tmp_path / "ckpt"), available_now=True
     )
@@ -66,6 +72,11 @@ def test_pair_stream_admits_curated_first_wins(spark, tmp_path):
     assert set(got) == {"imgA", "imgC", "imgG"}
     assert got["imgA"]["phash"] == I.phash64(I.render_pixels("imgA", 32, 32))
     assert got["imgA"]["lang"] == "en" and got["imgA"]["ws_tokens"] == 15
+    # a long-running stream must not accrue storage across micro-batches:
+    # every per-batch checkpoint (metrics frame, component labels) is
+    # released once the admitted append materializes
+    leaked = block_ids() - before
+    assert not leaked, f"stream leaked storage blocks: {leaked}"
 
 
 def test_pair_batch_replay_is_exactly_once(spark, tmp_path):
