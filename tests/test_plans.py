@@ -164,9 +164,7 @@ def test_round_releases_all_storage_blocks(spark, tmp_path):
     assert not leaked, f"blocks leaked with follow_links=False: {leaked}"
 
     # pagerank mode: only the run-lifetime rank table may survive a round,
-    # and releasing it must leave zero blocks
-    from web_crawler_spark.session import release_frame
-
+    # and close() must release it down to zero blocks
     run3 = CrawlRun(
         spark,
         str(tmp_path / "run3"),
@@ -180,7 +178,7 @@ def test_round_releases_all_storage_blocks(spark, tmp_path):
     run3.run()
     leaked = block_ids() - before
     assert len(leaked) <= 1, f"pagerank mode may retain only _rank_df: {leaked}"
-    release_frame(run3._rank_df)
+    run3.close()
     leaked = block_ids() - before
     assert not leaked, f"blocks leaked in pagerank mode: {leaked}"
 

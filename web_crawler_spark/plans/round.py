@@ -757,6 +757,15 @@ class CrawlRun:
                 break
         return out
 
+    def close(self) -> None:
+        """Release run-lifetime cached state (the pagerank rank table).
+        All durable state is already on disk — a closed run is resumed by
+        constructing a new ``CrawlRun`` over the same ``run_dir``; this
+        object must not run further rounds. Idempotent."""
+        if self._rank_df is not None:
+            _release(self._rank_df)
+            self._rank_df = None
+
     # ------------------------------------------------------------------
     # checkpoint / resume (north rule resume gate)
     # ------------------------------------------------------------------
