@@ -84,6 +84,31 @@ def test_round2_operators_avoid_antipatterns(spark):
     assert "BroadcastHashJoin" in plans["scoped_extract"]  # scopes dim broadcast
 
 
+def test_round3_operators_avoid_antipatterns(spark):
+    """Round-3 operators: never a cartesian product; Python stays confined
+    to Arrow-batched mapInPandas/applyInPandas (ArrowEval/MapInPandas/
+    FlatMapGroupsInPandas nodes), never row-at-a-time BatchEvalPython; the
+    caption dim in pair curation broadcasts."""
+    plans = {
+        "zip_archives": _plan(A.q_zip_archives(spark, SF)),
+        "block_inline_render": _plan(A.q_block_inline_render(spark, SF)),
+        "image_curation": _plan(A.q_image_curation(spark, SF)),
+        "pair_curation": _plan(A.q_pair_curation(spark, SF)),
+        "saved_jobs_crud": _plan(A.q_saved_jobs_crud(spark, SF)),
+    }
+    for name, p in plans.items():
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name  # row-at-a-time Python UDF
+    # the caption-dim broadcast sits UPSTREAM of curate_pairs' metrics
+    # checkpoint (the final plan scans the truncated RDD), so assert it on
+    # the pre-checkpoint join the query builds
+    docs = A.t(spark, SF, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    joined = A._pair_corpus(spark, SF).join(F.broadcast(docs), "doc_id", "left")
+    assert "BroadcastHashJoin" in _plan(joined)
+
+
 def test_distributed_tier_probe_plan_is_broadcast_and_arrow(spark, tmp_path):
     """DistributedSeenTiers.probe: hot tier joins by broadcast (no shuffle
     of the probe side) and the bloom test is one Arrow-batched pass."""
