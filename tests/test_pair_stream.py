@@ -125,3 +125,43 @@ def test_pair_stream_restart_drains_only_new_files(spark, tmp_path):
     q.awaitTermination(120)
     ids = {r["pair_id"] for r in table.read(spark, schema=ADMITTED_PAIRS).collect()}
     assert ids == base_ids | {"imgH"}
+
+
+def test_single_batch_admission_matches_batch_curation(spark, tmp_path):
+    """On ONE batch (no admitted history) the stream body and the batch
+    operator are the same algorithm — gates, within-batch prune with the
+    lexicographic-min representative — so the admitted set must equal the
+    batch operator's kept_* survivors exactly. Cross-batch behavior
+    intentionally diverges (first-admitted-wins); this pins the shared
+    core so the two paths cannot drift."""
+    from web_crawler_spark.operators.multimodal import curate_pairs
+
+    rows = [
+        ("imgA", _blob("imgA"), GOOD_EN),
+        ("imgA~d1", _blob("imgA~d1"), GOOD_EN),   # near-dup of imgA
+        ("imgB", _blob("imgB"), GOOD_EN),
+        ("imgB~d1", _blob("imgB~d1"), GOOD_EN),   # near-dup of imgB
+        ("imgC", _blob("imgC"), GOOD_EN),
+        ("imgD", b"corrupt", GOOD_EN),            # decode gate
+        ("imgE", _blob("imgE"), "kurz"),          # caption gates
+        ("imgF", _blob("imgF", side=8), GOOD_EN), # too_small
+        ("imgG", _blob("imgG"), None),            # missing caption
+    ]
+    df = spark.createDataFrame(rows, "pair_id string, bytes binary, caption string")
+
+    table = SnapshotTable(str(tmp_path / "admitted"))
+    admit_pair_batch(df, 0, table)
+    admitted = {
+        r["pair_id"] for r in table.read(spark, schema=ADMITTED_PAIRS).collect()
+    }
+
+    cur = curate_pairs(
+        df, id_col="pair_id", bytes_col="bytes", caption_col="caption"
+    ).collect()
+    kept = {
+        r["pair_id"]
+        for r in cur
+        if r["verdict"] in ("kept_representative", "kept_unique")
+    }
+    assert admitted == kept
+    assert admitted == {"imgA", "imgB", "imgC"}
