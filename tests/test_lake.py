@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from web_crawler_spark.sources.lake import SnapshotTable
@@ -33,6 +35,53 @@ def test_stats_pruning_skips_disjoint_commits(spark, tmp_path):
     # disjoint range prunes everything; read needs the schema and is empty
     empty = t.read(spark, schema=got.schema, prune={"settled_round": (99, 100)})
     assert empty.count() == 0
+
+
+def test_footer_stats_match_agg_fallback(spark, tmp_path):
+    """The commit-time stats fold parquet footers driver-side (no Spark
+    job); the folded result must equal the agg job it replaced, including
+    nulls and multi-file commits."""
+    t = SnapshotTable(str(tmp_path / "t"), stats_cols=["settled_round"])
+    df = (
+        spark.range(0, 1000)
+        .select(
+            F.col("id").alias("url_hash"),
+            F.when(F.col("id") % 11 == 0, None)
+            .otherwise((F.col("id") % 7).cast("int"))
+            .alias("settled_round"),
+        )
+        .repartition(4)  # multi-file commit: the fold spans files
+    )
+    t.overwrite(df)
+    [d] = [os.path.join(t._data_dir, n) for n in t.data_dirs()]
+    fast = t._footer_stats(d)
+    assert fast is not None, "int column must take the footer fast path"
+    t._FOOTER_EXACT = ()  # force the agg fallback on the same dir
+    slow = t._commit_stats(spark, d)
+    assert fast == slow == {"n_rows": 1000, "cols": {"settled_round": [0, 6]}}
+
+
+def test_footer_stats_all_null_and_string_fallback(spark, tmp_path):
+    # all-null stats column: footer path folds it to [None, None]
+    t = SnapshotTable(str(tmp_path / "t"), stats_cols=["settled_round"])
+    t.overwrite(
+        spark.range(0, 5).select(
+            F.col("id").alias("url_hash"),
+            F.lit(None).cast("int").alias("settled_round"),
+        )
+    )
+    [d] = [os.path.join(t._data_dir, n) for n in t.data_dirs()]
+    assert t._footer_stats(d) == {
+        "n_rows": 5,
+        "cols": {"settled_round": [None, None]},
+    }
+    # string stats column: footer min/max may be writer-truncated → must
+    # decline the fast path (agg fallback gives the exact value)
+    ts = SnapshotTable(str(tmp_path / "ts"), stats_cols=["name"])
+    ts.overwrite(spark.range(0, 5).select(F.concat(F.lit("n"), "id").alias("name")))
+    [ds] = [os.path.join(ts._data_dir, n) for n in ts.data_dirs()]
+    assert ts._footer_stats(ds) is None
+    assert ts._commit_stats(spark, ds)["cols"]["name"] == ["n0", "n4"]
 
 
 def test_stats_pruning_is_conservative_without_stats(spark, tmp_path):

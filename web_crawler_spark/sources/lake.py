@@ -174,8 +174,15 @@ class SnapshotTable:
 
     def _commit_stats(self, spark, abs_dir: str) -> dict:
         """Min/max + row count for ``stats_cols`` of one freshly written
-        commit dir (read back from the written files, so the stats describe
-        exactly what a scan would see). One tiny extra job per commit."""
+        commit dir. Primary path: fold the parquet FOOTER statistics of the
+        written files driver-side (what Iceberg's commit does) — zero Spark
+        jobs, and the footers describe exactly what a scan would see.
+        Fallback: one tiny agg job, for columns whose footer stats aren't
+        trustworthy-exact (strings/binary may be truncated by the writer)
+        or when a footer is missing stats."""
+        footer = self._footer_stats(abs_dir)
+        if footer is not None:
+            return footer
         from pyspark.sql import functions as F
 
         written = spark.read.parquet(abs_dir)
@@ -188,6 +195,65 @@ class SnapshotTable:
             "n_rows": row["__n"],
             "cols": {c: [row[f"__min_{c}"], row[f"__max_{c}"]] for c in cols},
         }
+
+    # footer min/max is byte-exact (and JSON-storable) for these arrow types;
+    # strings/binary can be truncated by the writer, so they take the agg path
+    _FOOTER_EXACT = ("int", "uint", "float", "double", "bool")
+
+    def _footer_stats(self, abs_dir: str) -> dict | None:
+        """Fold per-row-group parquet statistics into the commit's stats
+        entry without a Spark job. Returns None (→ agg fallback) when any
+        stats column is a type whose footer min/max isn't exact, or a row
+        group with non-null values lacks min/max."""
+        import pyarrow.parquet as pq
+
+        try:
+            names = sorted(
+                n for n in os.listdir(abs_dir) if n.endswith(".parquet")
+            )
+        except OSError:
+            return None
+        n_rows = 0
+        agg: dict[str, list] = {}
+        cols: list[str] | None = None
+        for name in names:
+            try:
+                md = pq.ParquetFile(os.path.join(abs_dir, name)).metadata
+            except Exception:
+                return None
+            if cols is None:
+                arrow_schema = md.schema.to_arrow_schema()
+                cols = [c for c in self.stats_cols if c in arrow_schema.names]
+                for c in cols:
+                    t = str(arrow_schema.field(c).type)
+                    if not t.startswith(self._FOOTER_EXACT):
+                        return None
+                    agg[c] = [None, None]
+            n_rows += md.num_rows
+            for rg in range(md.num_row_groups):
+                group = md.row_group(rg)
+                for i in range(group.num_columns):
+                    col = group.column(i)
+                    c = col.path_in_schema
+                    if c not in agg:
+                        continue
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        if (
+                            st is not None
+                            and st.has_null_count
+                            and st.null_count == col.num_values
+                        ):
+                            continue  # all-null group contributes no min/max
+                        return None
+                    lo, hi = agg[c]
+                    agg[c] = [
+                        st.min if lo is None else min(lo, st.min),
+                        st.max if hi is None else max(hi, st.max),
+                    ]
+        if cols is None:  # no data files: let the agg path decide
+            return None
+        return {"n_rows": n_rows, "cols": agg}
 
     def _commit_lock(self, timeout_sec: float = 60.0):
         """Exclusive flock serializing the commit critical section — the
