@@ -109,3 +109,44 @@ def test_sparse_min_doubling_matches_naive(hashes, log_w):
         ]
         span *= 2
     assert acc[: len(hashes) - w + 1] == naive
+
+
+@given(
+    st.lists(  # 1-3 files, each 1-40 rows of nullable ints
+        st.lists(
+            st.one_of(st.none(), st.integers(min_value=-(1 << 62), max_value=1 << 62)),
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    st.integers(min_value=1, max_value=8),  # rows per parquet row group
+)
+@settings(max_examples=60, deadline=None)
+def test_footer_stats_fold_matches_ground_truth(tmp_path_factory, files, rg_rows):
+    """The driver-side parquet-footer fold (SnapshotTable._footer_stats)
+    equals the exact min/max/count over arbitrary multi-file, multi-row-group
+    commits with any null layout — the property the stats-pruned scan's
+    correctness rests on."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_crawler_spark.sources.lake import SnapshotTable
+
+    d = tmp_path_factory.mktemp("footer")
+    for i, vals in enumerate(files):
+        t = pa.table({"settled_round": pa.array(vals, pa.int64())})
+        pq.write_table(t, str(d / f"part-{i:05d}.parquet"), row_group_size=rg_rows)
+    st_obj = SnapshotTable.__new__(SnapshotTable)
+    st_obj.stats_cols = ["settled_round"]
+    got = st_obj._footer_stats(str(d))
+    assert got is not None
+    flat = [v for vals in files for v in vals]
+    present = [v for v in flat if v is not None]
+    want_min = min(present) if present else None
+    want_max = max(present) if present else None
+    assert got == {
+        "n_rows": len(flat),
+        "cols": {"settled_round": [want_min, want_max]},
+    }
