@@ -203,3 +203,90 @@ class PartitionedBloom:
         """Theoretical false-positive rate at n_keys total inserted keys."""
         n_per = n_keys / self.p
         return (1 - math.exp(-self.k * n_per / self.m)) ** self.k
+
+
+# ---------------------------------------------------------------------------
+# Blobs-as-a-table variants — the 10^10 design point, where the filter
+# (~17.5 GB at 14 bits/key) fits neither the driver nor a broadcast. The
+# blobs live as (pkey, bits) rows in a snapshot table; probe and flush are
+# cogrouped per-partition tasks, so no process ever holds more than its own
+# partition's ~17 MB blob and the driver sees zero blob bytes.
+# ---------------------------------------------------------------------------
+
+
+def probe_cogrouped(
+    df: DataFrame,
+    blobs_df: DataFrame,
+    *,
+    m: int,
+    k: int,
+    p: int,
+    hash_col: str = "url_hash",
+) -> DataFrame:
+    """Attach ``might_contain`` by cogrouping candidates with their blob row.
+
+    Same answer as ``PartitionedBloom.probe`` (pinned by tests), different
+    movement: candidates shuffle by pkey (their natural hash-range key) and
+    meet exactly one blob row per group — a partition with no blob row yet
+    is a definite negative. All candidate columns pass through."""
+    out_schema = StructType(
+        df.schema.fields + [StructField("might_contain", BooleanType(), False)]
+    )
+    cols = list(df.columns)
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        res = left[cols]
+        if len(left) == 0:
+            return res.assign(might_contain=np.zeros(0, dtype=bool))
+        if len(right) == 0:
+            return res.assign(might_contain=False)
+        bits = np.frombuffer(bytes(right["bits"].iloc[0]), dtype=np.uint8)
+        hv = left[hash_col].to_numpy(np.int64)
+        return res.assign(might_contain=_test_bits(bits, hv, m, k))
+
+    cand = df.withColumn(
+        "__pkey", F.pmod(F.col(hash_col), F.lit(p)).cast("int")
+    )
+    return (
+        cand.groupBy("__pkey")
+        .cogroup(blobs_df.groupBy("pkey"))
+        .applyInPandas(fn, out_schema)
+    )
+
+
+def or_merge_blobs(
+    new_keys: DataFrame,
+    blobs_df: DataFrame,
+    *,
+    m: int,
+    k: int,
+    p: int,
+    hash_col: str = "url_hash",
+) -> DataFrame:
+    """The distributed flush: OR the bits of ``new_keys`` into the existing
+    blob rows, emitting the merged (pkey, bits) table — one task per touched
+    partition, O(P) small rows out, zero driver traffic. Partitions with no
+    new keys pass their blob through unchanged; partitions with no blob yet
+    are built fresh."""
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left):
+            pkey = int(left["__pkey"].iloc[0])
+        else:
+            pkey = int(right["pkey"].iloc[0])
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        if len(right):
+            bits |= np.frombuffer(bytes(right["bits"].iloc[0]), dtype=np.uint8)
+        if len(left):
+            _set_bits(bits, left["h"].to_numpy(np.int64), m, k)
+        return pd.DataFrame({"pkey": [pkey], "bits": [bits.tobytes()]})
+
+    keys = new_keys.select(
+        F.col(hash_col).alias("h"),
+        F.pmod(F.col(hash_col), F.lit(p)).cast("int").alias("__pkey"),
+    )
+    return (
+        keys.groupBy("__pkey")
+        .cogroup(blobs_df.groupBy("pkey"))
+        .applyInPandas(fn, BLOB_SCHEMA)
+    )

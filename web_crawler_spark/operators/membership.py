@@ -159,11 +159,147 @@ class DistributedSeenTiers:
         return tiers
 
 
+class TableSeenTiers(DistributedSeenTiers):
+    """Bloom blobs as a snapshot TABLE — the 10^10 design point.
+
+    ``DistributedSeenTiers`` still materializes the blob dict on the driver
+    and broadcasts it per probe; fine while the filter is MB-sized, but at
+    10^10 keys / 14 bits it is ~17.5 GB — too big for either. Here the blobs
+    are (pkey, bits) rows in a ``SnapshotTable``:
+
+    - **probe**: candidates cogroup with their blob row by pkey
+      (``bloom.probe_cogrouped``) — each task holds one ~17 MB blob, the
+      driver holds none. The derived hot tier is unchanged (politeness
+      bounds it, so its broadcast join stays legitimate at any scale).
+    - **flush**: ``bloom.or_merge_blobs`` ORs the post-watermark seen slice
+      into the blob rows and overwrites the table — one distributed job,
+      zero blob bytes through the driver.
+    - **checkpoint/resume**: ``dump`` records only sizing + watermark + the
+      blob table's snapshot id; ``load`` rolls the table back to it, so a
+      crash between a flush and the round checkpoint discards the
+      uncheckpointed blob commit exactly like the six row tables.
+
+    Exactness contract identical to the other tiers: might_contain=False
+    skips the exact anti-join, positives are confirmed against the exact
+    seen table.
+    """
+
+    kind = "table"
+
+    def __init__(
+        self,
+        table_path: str,
+        expected_keys: int = 1 << 20,
+        *,
+        bloom_partitions: int = 16,
+        flush_every: int = DEFAULT_FLUSH_EVERY,
+    ):
+        super().__init__(
+            expected_keys,
+            bloom_partitions=bloom_partitions,
+            flush_every=flush_every,
+        )
+        from ..sources.lake import SnapshotTable
+
+        self.table_path = table_path
+        self.blob_table = SnapshotTable(table_path)
+        self.expected_keys = expected_keys
+
+    def init_table(self) -> None:
+        """Fresh start: an empty blob table (no partitions have blobs yet —
+        every probe is a definite negative until the first flush)."""
+        from .bloom import BLOB_SCHEMA
+
+        self.blob_table.overwrite_local([], BLOB_SCHEMA)
+
+    def _blobs_df(self, spark) -> DataFrame:
+        from .bloom import BLOB_SCHEMA
+
+        return self.blob_table.read(spark, schema=BLOB_SCHEMA)
+
+    def end_round(self, current_round: int, seen_table, spark) -> None:
+        from .bloom import or_merge_blobs
+
+        if current_round - self.flushed_round < self.flush_every:
+            return
+        hot = self.hot_slice(spark, seen_table, current_round)
+        merged = or_merge_blobs(
+            hot,
+            self._blobs_df(spark),
+            m=self.bloom.m,
+            k=self.bloom.k,
+            p=self.bloom.p,
+        )
+        self.blob_table.overwrite(merged)
+        self.flushed_round = current_round
+
+    def probe(
+        self, df: DataFrame, spark, seen_table, current_round: int,
+        hash_col: str = "url_hash",
+    ) -> DataFrame:
+        from .bloom import probe_cogrouped
+
+        hot = self.hot_slice(
+            spark, seen_table, current_round, hash_col=hash_col
+        ).withColumn("__hot", F.lit(True))
+        probed = probe_cogrouped(
+            df,
+            self._blobs_df(spark),
+            m=self.bloom.m,
+            k=self.bloom.k,
+            p=self.bloom.p,
+            hash_col=hash_col,
+        )
+        return (
+            probed.join(F.broadcast(hot), hash_col, "left")
+            .withColumn(
+                "might_contain",
+                F.col("might_contain") | F.coalesce(F.col("__hot"), F.lit(False)),
+            )
+            .drop("__hot")
+        )
+
+    # ------------------------------------------------------------- persistence
+
+    def dump(self, path: str) -> None:
+        state = {
+            "kind": self.kind,
+            "sizing": (self.bloom.p, self.bloom.m, self.bloom.k),
+            "expected_keys": self.expected_keys,
+            "flushed_round": self.flushed_round,
+            "flush_every": self.flush_every,
+            "table_path": self.table_path,
+            "table_sid": self.blob_table.current_snapshot_id(),
+        }
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+
+    @classmethod
+    def load(cls, path: str) -> "TableSeenTiers":
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        tiers = cls(
+            state["table_path"],
+            state["expected_keys"],
+            bloom_partitions=state["sizing"][0],
+            flush_every=state["flush_every"],
+        )
+        tiers.bloom.m, tiers.bloom.k = state["sizing"][1], state["sizing"][2]
+        tiers.flushed_round = state["flushed_round"]
+        sid = state["table_sid"]
+        if sid is not None and tiers.blob_table.current_snapshot_id() != sid:
+            # discard blob commits past the checkpoint (crash mid-round)
+            tiers.blob_table.rollback(sid)
+        return tiers
+
+
 def load_tiers(path: str):
     """Resume helper: dispatch on the persisted tier kind (checkpoints from
     before the distributed tier default carried no kind → driver-sized)."""
     with open(path, "rb") as f:
         state = pickle.load(f)
+    if state.get("kind") == "table":
+        return TableSeenTiers.load(path)
     if state.get("kind") == "distributed":
         return DistributedSeenTiers.load(path)
     return SeenTiers.load(path)

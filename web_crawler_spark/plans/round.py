@@ -38,7 +38,12 @@ from ..functions.images import psnr_vs_reference_udf
 from ..operators import faults
 from ..operators.dedupe import anti_join_seen, first_wins
 from ..operators.errors import classify_fetch
-from ..operators.membership import DistributedSeenTiers, SeenTiers, load_tiers
+from ..operators.membership import (
+    DistributedSeenTiers,
+    SeenTiers,
+    TableSeenTiers,
+    load_tiers,
+)
 from ..operators.politeness import assign_fetch_seq, robots_filter, select_per_host
 from ..schemas import FETCH_LOG, FRONTIER, LINEAGE, METRICS, PHASH_SEEN, SEEN
 from ..session import release_frame as _release
@@ -101,6 +106,12 @@ class CrawlConfig:
     # table, Bloom flushes via distributed build_from, zero per-key driver
     # state. True: legacy driver-sized cuckoo hot tier (SeenTiers).
     driver_hot_tier: bool = False
+    # explicit tier selection: 'distributed' | 'driver' | 'table'.
+    # None keeps the driver_hot_tier-derived default. 'table' stores the
+    # Bloom blobs in a snapshot table and probes/flushes them cogrouped —
+    # the configuration for filters too big for the driver or a broadcast
+    # (the 10^10 design point); byte-identical results, pinned by tests.
+    tier_kind: str | None = None
     lineage_partitions: int = 16  # pkey strata for the per-partition lineage
 
 
@@ -146,7 +157,7 @@ class CrawlRun:
         self.lineage_t = SnapshotTable(os.path.join(run_dir, "lineage"))
         self.phash_seen_t = SnapshotTable(os.path.join(run_dir, "phash_seen"))
         self.round = 0
-        self.tiers: SeenTiers | DistributedSeenTiers | None = None
+        self.tiers: SeenTiers | DistributedSeenTiers | TableSeenTiers | None = None
         self._rank_df: DataFrame | None = None
 
     # ------------------------------------------------------------------
@@ -206,13 +217,24 @@ class CrawlRun:
         self.lineage_t.overwrite_local([], LINEAGE)
         self.phash_seen_t.overwrite_local([], PHASH_SEEN)
         if self.config.use_bloom:
-            if self.config.driver_hot_tier:
+            kind = self.config.tier_kind or (
+                "driver" if self.config.driver_hot_tier else "distributed"
+            )
+            if kind == "driver":
                 self.tiers = SeenTiers(
                     self.config.bloom_expected_keys,
                     bloom_partitions=self.config.bloom_partitions,
                     hot_buckets=self.config.hot_buckets,
                     flush_every=self.config.flush_every,
                 )
+            elif kind == "table":
+                self.tiers = TableSeenTiers(
+                    os.path.join(self.run_dir, "bloom"),
+                    self.config.bloom_expected_keys,
+                    bloom_partitions=self.config.bloom_partitions,
+                    flush_every=self.config.flush_every,
+                )
+                self.tiers.init_table()
             else:
                 self.tiers = DistributedSeenTiers(
                     self.config.bloom_expected_keys,
@@ -483,12 +505,12 @@ class CrawlRun:
             # two-tier prefilter: definite negatives skip the exact anti-join
             # entirely; positives (hits + false positives) are confirmed
             # against the exact seen table — the final set stays EXACT.
-            if self.tiers.kind == "distributed":
+            if self.tiers.kind == "driver":
+                probed = self.tiers.probe(best).persist()
+            else:  # distributed | table: derived hot tier, same signature
                 probed = self.tiers.probe(
                     best, self.spark, self.seen_t, self.round
                 ).persist()
-            else:
-                probed = self.tiers.probe(best).persist()
             negatives = probed.filter(~F.col("might_contain")).drop("might_contain")
             positives = probed.filter(F.col("might_contain")).drop("might_contain")
             rescued = anti_join_seen(positives, seen_df)
@@ -565,11 +587,13 @@ class CrawlRun:
         all_settled = settled.unionByName(blocked_settled)
         self.seen_t.append(all_settled)
         if self.tiers is not None:
-            if self.tiers.kind == "distributed":
+            if self.tiers.kind != "driver":
                 # no driver-side key traffic: the hot tier is the seen
                 # table's post-watermark slice; a flush (every flush_every
                 # rounds) rebuilds blobs distributed — only P blob rows
-                # reach the driver (VERDICT r1 #1).
+                # reach the driver ('distributed', VERDICT r1 #1), or zero
+                # blob bytes at all ('table': cogrouped OR-merge straight
+                # into the blob snapshot table).
                 self.tiers.end_round(rnd, self.seen_t, self.spark)
             else:
                 # legacy driver hot tier: the settled batch is bounded by
