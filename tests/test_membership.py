@@ -97,3 +97,59 @@ def test_cuckoo_overflow_never_loses_keys():
     for h in inserted:
         assert cf.contains(h), h
     assert cf.contains_batch(np.asarray(inserted, dtype=np.int64)).all()
+
+
+def test_cogrouped_probe_and_merge_match_broadcast(spark, hashes):
+    """The blobs-as-a-table primitives must give the exact answers of the
+    broadcast implementations: probe_cogrouped == PartitionedBloom.probe on
+    every row, or_merge_blobs == the driver-side OR of the same keys, and an
+    empty blob table is all definite negatives."""
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.operators.bloom import (
+        BLOB_SCHEMA,
+        or_merge_blobs,
+        probe_cogrouped,
+    )
+
+    bf = PartitionedBloom.sized_for(10000, n_partitions=8)
+    first, second, probe_keys = hashes[:5000], hashes[5000:8000], hashes[2500:12500]
+    spark_keys = lambda arr: spark.createDataFrame(  # noqa: E731
+        [(int(h),) for h in arr], "url_hash long"
+    )
+    cand = spark_keys(probe_keys).withColumn("x", F.col("url_hash") % 7)
+
+    # empty table → no positives
+    empty = spark.createDataFrame([], schema=BLOB_SCHEMA)
+    n_pos = (
+        probe_cogrouped(cand, empty, m=bf.m, k=bf.k, p=bf.p)
+        .filter("might_contain")
+        .count()
+    )
+    assert n_pos == 0
+
+    # merge round 1 into the empty table, round 2 into the result
+    bf.add_hashes(first)
+    t1 = or_merge_blobs(spark_keys(first), empty, m=bf.m, k=bf.k, p=bf.p)
+    t1 = spark.createDataFrame(t1.collect(), schema=BLOB_SCHEMA)  # settle
+    bf.add_hashes(second)
+    t2 = or_merge_blobs(spark_keys(second), t1, m=bf.m, k=bf.k, p=bf.p)
+    got = {r["pkey"]: bytes(r["bits"]) for r in t2.collect()}
+    want = {k: bytes(b) for k, b in bf.to_rows()}
+    assert got == want
+
+    blobs = spark.createDataFrame(
+        [(k, bytes(b)) for k, b in bf.to_rows()], schema=BLOB_SCHEMA
+    )
+    a = bf.probe(cand).orderBy("url_hash", "x").collect()
+    b = (
+        probe_cogrouped(cand, blobs, m=bf.m, k=bf.k, p=bf.p)
+        .orderBy("url_hash", "x")
+        .collect()
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # no false negatives through the cogrouped path
+    inserted_set = set(int(h) for h in first) | set(int(h) for h in second)
+    for r in b:
+        if int(r["url_hash"]) in inserted_set:
+            assert r["might_contain"]
