@@ -174,3 +174,57 @@ def test_maintain_on_fresh_handle_preserves_checkpoint_round(spark, tmp_path_fac
     assert resumed.resume() == 2
     m = resumed.run_round()
     assert m["round"] == 3
+
+
+def test_maintain_expires_table_tier_blob_snapshots(spark, tmp_path_factory):
+    """With tier_kind='table', maintain() must expire the blob table's
+    per-flush snapshots (on a fresh handle too — derived from the on-disk
+    tiers file), keep the checkpointed blob snapshot live, and the crawl
+    must continue byte-identically afterwards."""
+    from web_crawler_spark.plans.round import CrawlConfig, CrawlRun
+    from web_crawler_spark.schemas import FETCH_LOG
+    from web_crawler_spark.sources.fixtures import generate_site, load_fixture
+    from web_crawler_spark.sources.seeds import read_seeds
+
+    fdir = str(tmp_path_factory.mktemp("tblmaint-fixture"))
+    generate_site(fdir, n_pages=100, n_hosts=6, n_seeds=5)
+    kw = dict(
+        urls=load_fixture(spark, fdir, "urls"),
+        links=load_fixture(spark, fdir, "links"),
+        pages=load_fixture(spark, fdir, "pages"),
+        robots=load_fixture(spark, fdir, "robots"),
+        config=CrawlConfig(
+            default_host_budget=3, max_rounds=8, use_bloom=True,
+            flush_every=1, tier_kind="table",
+        ),
+    )
+
+    def log_rows(run):
+        return sorted(
+            map(
+                tuple,
+                run.fetch_log_t.read(spark, schema=FETCH_LOG)
+                .select("round", "fetch_seq", "url", "status")
+                .collect(),
+            )
+        )
+
+    plain = CrawlRun(spark, str(tmp_path_factory.mktemp("tbl-plain")), **kw)
+    plain.start(read_seeds(spark, f"{fdir}/seeds.csv"))
+    for _ in range(4):
+        plain.run_round()
+
+    maint = CrawlRun(spark, str(tmp_path_factory.mktemp("tbl-maint")), **kw)
+    maint.start(read_seeds(spark, f"{fdir}/seeds.csv"))
+    maint.run_round()
+    maint.run_round()
+    maint.run_round()
+    # flush_every=1 → one blob snapshot per round (+ the init commit)
+    fresh = CrawlRun(spark, maint.run_dir, **kw)  # offline handle, no resume()
+    stats = fresh.maintain(keep_last=1)
+    assert stats.get("bloom", 0) > 0
+    # the checkpointed blob snapshot survived; the run continues identically
+    resumed = CrawlRun(spark, maint.run_dir, **kw)
+    assert resumed.resume() == 3
+    resumed.run_round()
+    assert log_rows(resumed) == log_rows(plain)

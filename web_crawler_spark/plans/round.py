@@ -903,6 +903,20 @@ class CrawlRun:
         stats: dict[str, int] = {}
         for name, table in compactable + [("seen", self.seen_t)]:
             stats[name] = len(table.expire_snapshots(keep_last=keep_last))
+        # the table tier's blob table accrues one snapshot per flush; expire
+        # it with the rest (never compacted — each overwrite is already a
+        # single data dir, and the checkpointed sid is the current one on a
+        # clean run, so keep_last ≥ 1 always retains it)
+        tiers = self.tiers
+        if tiers is None and state.get("tiers_file"):
+            try:
+                tiers = load_tiers(state["tiers_file"])
+            except FileNotFoundError:
+                tiers = None
+        if tiers is not None and tiers.kind == "table":
+            stats["bloom"] = len(
+                tiers.blob_table.expire_snapshots(keep_last=keep_last)
+            )
         return stats
 
     def resume(self) -> int:
