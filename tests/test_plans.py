@@ -134,6 +134,35 @@ def test_distributed_tier_probe_plan_is_broadcast_and_arrow(spark, tmp_path):
     assert "BatchEvalPython" not in p      # never row-at-a-time Python
 
 
+def test_table_tier_probe_plan_is_cogrouped_and_arrow(spark, tmp_path):
+    """TableSeenTiers.probe: the bloom test is a cogrouped Arrow pass (one
+    blob per task — no broadcast of the filter, no cartesian product), and
+    the hot tier still joins by broadcast."""
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.operators.membership import TableSeenTiers
+    from web_crawler_spark.sources.lake import SnapshotTable
+
+    seen = SnapshotTable(str(tmp_path / "seen"), stats_cols=["settled_round"])
+    seen.overwrite(
+        spark.range(100).select(
+            F.xxhash64("id").alias("url_hash"),
+            F.concat(F.lit("https://h/"), F.col("id").cast("string")).alias("url"),
+            F.lit(1).cast("int").alias("settled_round"),
+        )
+    )
+    tiers = TableSeenTiers(
+        str(tmp_path / "bloom"), expected_keys=1 << 12, bloom_partitions=8
+    )
+    tiers.init_table()
+    probe = spark.range(50).select(F.xxhash64("id").alias("url_hash"))
+    p = _plan(tiers.probe(probe, spark, seen, 1))
+    assert "FlatMapCoGroupsInPandas" in p  # blob-per-task bloom test
+    assert "BroadcastHashJoin" in p        # the (bounded) hot-slice join
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p      # never row-at-a-time Python
+
+
 def test_round_releases_all_storage_blocks(spark, tmp_path):
     """End-of-round cleanup must actually free storage: unpersist() is a
     no-op on localCheckpointed frames (their blocks belong to the internal
