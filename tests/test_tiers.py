@@ -305,6 +305,75 @@ def test_distributed_tier_million_row_flush_no_driver_collect(spark, tmp_path, m
     assert max(sizes) <= P
 
 
+def test_table_tier_million_row_flush_zero_driver_rows(spark, tmp_path, monkeypatch):
+    """The blobs-as-a-table tier at 10^6 rows: flush and probe must move
+    ZERO rows through DataFrame.collect — not even the P blob rows the
+    distributed tier collects (the blobs go table→table), and the driver-side
+    blob dict stays empty. Same no-false-negative/fp-rate contract."""
+    try:  # Spark 4.x: the concrete (classic) DataFrame overrides the base
+        import pyspark.sql.classic.dataframe as D
+    except ImportError:  # pragma: no cover — Spark 3.x layout
+        import pyspark.sql.dataframe as D
+
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.operators.membership import TableSeenTiers
+    from web_crawler_spark.schemas import SEEN
+    from web_crawler_spark.sources.lake import SnapshotTable
+
+    n, P = 1_000_000, 32
+    seen_t = SnapshotTable(str(tmp_path / "seen"), stats_cols=["settled_round"])
+    settled = spark.range(n).select(
+        F.xxhash64(F.col("id")).alias("url_hash"),
+        F.concat(F.lit("https://h.example.com/p/"), F.col("id").cast("string")).alias("url"),
+        F.lit(1).cast("int").alias("settled_round"),
+    )
+    seen_t.overwrite(settled.select([f.name for f in SEEN.fields]))
+
+    tiers = TableSeenTiers(
+        str(tmp_path / "bloom"), expected_keys=2 * n,
+        bloom_partitions=P, flush_every=1,
+    )
+    tiers.init_table()
+
+    sizes: list[int] = []
+    orig_collect = D.DataFrame.collect
+
+    def counting_collect(self):
+        rows = orig_collect(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(D.DataFrame, "collect", counting_collect)
+
+    tiers.end_round(1, seen_t, spark)  # flush: blob table → blob table
+    assert tiers.flushed_round == 1
+    flush_sizes = list(sizes)
+
+    probe = spark.range(n // 2, n + n // 2).select(
+        F.col("id").alias("key"), F.xxhash64(F.col("id")).alias("url_hash")
+    )
+    probed = tiers.probe(probe, spark, seen_t, 1)
+    agg = probed.agg(
+        F.count_if(F.col("might_contain") & (F.col("key") < n)).alias("hits"),
+        F.count_if(~F.col("might_contain") & (F.col("key") < n)).alias("false_neg"),
+        F.count_if(F.col("might_contain") & (F.col("key") >= n)).alias("fp"),
+        F.count_if(F.col("key") >= n).alias("fresh"),
+    ).collect()[0]
+
+    monkeypatch.setattr(D.DataFrame, "collect", orig_collect)
+
+    assert agg["false_neg"] == 0
+    assert agg["hits"] == n // 2
+    assert agg["fp"] / agg["fresh"] < 0.01
+    # the flush collected NOTHING (stats come from parquet footers, blobs
+    # never leave the cluster) and the driver never held a blob
+    assert flush_sizes == []
+    assert tiers.bloom.blobs == {}
+    # the blob table holds the P partition blobs
+    assert tiers.blob_table.read(spark).count() == P
+
+
 def test_remove_never_creates_false_negatives(spark):
     """Removing one hot key must never evict another key's entry (16-bit
     fingerprint collisions make raw cuckoo deletes unsafe for keys the
