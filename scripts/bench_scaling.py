@@ -87,6 +87,7 @@ n_rows = int(sys.argv[2])
 job = sys.argv[3] if len(sys.argv) > 3 else "frontier"
 JOBS = {
     "frontier": (bench.frontier_throughput, 1_000_000),
+    "frontier_tiered": (bench.frontier_tiered_throughput, 1_000_000),
     "image": (bench.image_pipeline_throughput, 2_000),
 }
 job_fn, warm_floor = JOBS[job]
@@ -163,16 +164,19 @@ def measure_job(job: str, n_rows: int) -> dict:
 
 def main():
     fr = measure_job("frontier", N_ROWS)
+    ft = measure_job("frontier_tiered", N_ROWS)
     im = measure_job("image", N_IMAGES)
     results, eff, weak_eff = fr["levels"], fr["scaling_efficiency"], fr["weak_scaling"]["efficiency"]
     n, n4 = results[LEVELS[0]], results[LEVELS[1]]
     wk_n = fr["weak_scaling"]["n_small"]
+    ftn, ftn4 = ft["levels"][LEVELS[0]], ft["levels"][LEVELS[1]]
     imn, imn4 = im["levels"][LEVELS[0]], im["levels"][LEVELS[1]]
     summary = {
-        "metric": "N vs 4N parallelism scaling, frontier (shuffle axis) + image pipeline (payload axis)",
+        "metric": "N vs 4N parallelism scaling: frontier (shuffle axis) + tiered round (membership probe) + image pipeline (payload axis)",
         "frontier": fr,
+        "frontier_tiered": ft,
         "image_pipeline": im,
-        "pass": fr["pass"] and im["pass"],
+        "pass": fr["pass"] and ft["pass"] and im["pass"],
     }
     md = f"""# BENCH — scaling evidence (north rule)
 
@@ -206,6 +210,28 @@ executors.
 Determinism across parallelism: the selected batch and its fetch order are
 identical at both levels (total order `(priority DESC, url_hash ASC)`);
 verified by tests/test_politeness.py and the resume/roundtrip suites.
+
+## Tiered-round scaling (with the membership probe)
+
+The north star's round dedupes "against bloom/cuckoo membership" before the
+exact confirm; this job measures the SAME round with the Bloom tier in the
+plan (`bench.frontier_tiered_throughput`): first-wins dedupe → cogrouped
+blob probe (blobs-as-a-table, one ~blob per task — the layout that holds
+when the 10^10-key filter fits neither driver nor broadcast) → definite
+negatives skip the exact anti-join, positives are confirmed exactly →
+salted per-host top-k. Filter construction is untimed setup (it persists
+across rounds in `TableSeenTiers`).
+
+| parallelism | wall s | URLs/s | vs local[{LEVELS[0]}] |
+|---|---|---|---|
+| local[{LEVELS[0]}]  (N)  | {ftn['sec']} | {ftn['urls_per_sec']:,} | 1.0× |
+| local[{LEVELS[1]}] (4N) | {ftn4['sec']} | {ftn4['urls_per_sec']:,} | {ftn4['urls_per_sec']/ftn['urls_per_sec']:.2f}× |
+
+**Strong-scaling efficiency N→4N: {ft['scaling_efficiency']:.3f}** (target ≥ 0.8 →
+{"PASS" if ft['pass'] else "FAIL"}); weak scaling (constant rows/core):
+**{ft['weak_scaling']['efficiency']:.3f}**. `selected` equals the untiered round's
+({ftn['selected']:,} = {n['selected']:,}) at both levels — the tier moves work
+(the anti-join probe side shrinks to the positives), never the answer.
 
 ## Image-pipeline scaling (payload axis)
 

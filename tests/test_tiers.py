@@ -387,3 +387,19 @@ def test_remove_never_creates_false_negatives(spark):
     assert all(tiers.hot.contains(h) for h in survivors)
     import numpy as np
     assert tiers.hot.contains_batch(np.asarray(survivors, dtype=np.int64)).all()
+
+
+
+def test_tiered_frontier_round_matches_untiered(spark):
+    """bench.frontier_tiered_throughput (dedupe -> cogrouped Bloom probe ->
+    exact confirm of positives -> top-k) must select exactly what the
+    untiered round selects: the membership tier moves work, never the
+    answer."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    _, sel_plain = bench.frontier_throughput(spark, 200_000)
+    _, sel_tiered = bench.frontier_tiered_throughput(spark, 200_000)
+    assert sel_plain == sel_tiered > 0
