@@ -19,7 +19,15 @@ import json
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+# Python WORKERS don't inherit the driver's sys.path — they get PYTHONPATH
+# from the JVM environment. Under spark-submit, --py-files ships the package;
+# for the plain-python local smoke (launched from any cwd), export it before
+# the JVM starts or every pickled UDF dies with ModuleNotFoundError.
+os.environ["PYTHONPATH"] = (
+    _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
 
 
 def main() -> int:
@@ -28,6 +36,16 @@ def main() -> int:
     ap.add_argument("--run-dir", required=True, help="state directory (frontier/seen/fetch_log/metrics/lineage)")
     ap.add_argument("--resume", action="store_true", help="resume from the run-dir checkpoint")
     ap.add_argument("--use-bloom", action="store_true", help="enable the Bloom/cuckoo membership tiers")
+    ap.add_argument(
+        "--tier",
+        choices=["distributed", "driver", "table"],
+        default=None,
+        help="membership tier layout (with --use-bloom): 'distributed' "
+        "(default; blobs broadcast per probe), 'table' (blobs as snapshot-"
+        "table rows, cogrouped probe/flush — the 10^10 layout where the "
+        "filter fits neither driver nor broadcast), 'driver' (legacy "
+        "cuckoo hot tier)",
+    )
     ap.add_argument("--host-budget", type=int, default=4)
     ap.add_argument("--max-rounds", type=int, default=50)
     ap.add_argument("--no-follow-links", action="store_true")
@@ -44,6 +62,7 @@ def main() -> int:
         max_rounds=args.max_rounds,
         follow_links=not args.no_follow_links,
         use_bloom=args.use_bloom,
+        tier_kind=args.tier,
     )
     run = CrawlRun(
         spark,

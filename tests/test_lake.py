@@ -423,3 +423,69 @@ def test_expire_gcs_dirless_stale_markers(spark, tmp_path):
     t.expire_snapshots(keep_last=1, in_flight_grace_s=0.0)
     assert not os.path.exists(marker)
     assert not os.path.exists(tmp_marker)
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Add-column evolution: appending a DataFrame with a NEW column keeps
+    the table readable as the UNION of fields — old rows read NULL in the
+    added column (the Iceberg add-column contract)."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.overwrite(_mk(spark, 0, 5))
+    sid_before = t.current_snapshot_id()
+    t.append(
+        _mk(spark, 5, 10).withColumn("depth", (F.col("url_hash") % 3).cast("int"))
+    )
+    got = t.read(spark)
+    assert set(got.columns) == {"url_hash", "settled_round", "depth"}
+    rows = {r["url_hash"]: r["depth"] for r in got.collect()}
+    assert len(rows) == 10
+    assert all(rows[h] is None for h in range(5))  # pre-evolution rows
+    assert all(rows[h] is not None for h in range(5, 10))
+    # time travel to the pre-evolution snapshot keeps the OLD schema
+    old = t.read(spark, snapshot_id=sid_before)
+    assert set(old.columns) == {"url_hash", "settled_round"}
+    # dropping a column = appending without it; new rows read NULL there
+    t.append(_mk(spark, 10, 12).select("url_hash"))
+    got = t.read(spark)
+    assert set(got.columns) == {"url_hash", "settled_round", "depth"}
+    srs = {r["url_hash"]: r["settled_round"] for r in got.collect()}
+    assert srs[10] is None and srs[0] is not None
+
+
+def test_schema_evolution_rejects_type_change(spark, tmp_path):
+    """Changing an existing column's TYPE must fail loudly at commit time
+    (Iceberg allows only explicit promotions), leaving the table intact."""
+    import pytest
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.overwrite(_mk(spark, 0, 5))
+    bad = _mk(spark, 5, 10).withColumn(
+        "settled_round", F.col("settled_round").cast("string")
+    )
+    with pytest.raises(TypeError, match="settled_round"):
+        t.append(bad)
+    # the failed commit left no snapshot; the table still reads whole
+    assert t.read(spark).count() == 5
+    # an OVERWRITE may change types freely (explicit table rewrite)
+    t.overwrite(bad)
+    assert dict(t.read(spark).dtypes)["settled_round"] == "string"
+
+
+def test_schema_evolution_incremental_and_compact(spark, tmp_path):
+    """Incremental reads spanning an evolution union the delta's schemas;
+    compaction rewrites the table to ONE schema carrying the union."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.overwrite(_mk(spark, 0, 3))
+    mark = t.current_snapshot_id()
+    t.append(_mk(spark, 3, 6))
+    t.append(_mk(spark, 6, 9).withColumn("depth", F.lit(1).cast("int")))
+    inc = t.read_incremental(spark, mark)
+    assert set(inc.columns) == {"url_hash", "settled_round", "depth"}
+    assert inc.count() == 6
+    t.compact(spark)
+    [only_dir] = t.data_dirs()
+    m = t._manifest(t.current_snapshot_id())
+    assert list(m["schemas"]) == [only_dir]  # single post-compaction schema
+    got = t.read(spark)
+    assert set(got.columns) == {"url_hash", "settled_round", "depth"}
+    assert got.count() == 9

@@ -36,8 +36,9 @@ serialize under an exclusive flock — the parent snapshot is re-read inside
 the critical section, so interleaved writers chain correctly instead of
 last-write-winning the ``_current`` swap; data files land outside the lock
 (writers only serialize on the metadata swap), and a writer that cannot get
-the lock fails loudly. It does NOT have: per-*file* (vs per-commit) stats
-granularity, schema evolution, or a catalog. On a cluster with the Iceberg
+the lock fails loudly. It also has add-column schema evolution (below). It
+does NOT have: per-*file* (vs per-commit) stats granularity, type-promotion
+schema evolution, or a catalog. On a cluster with the Iceberg
 runtime jars the same call sites swap to a catalog table unchanged (the API
 is snapshot-id-compatible by design; the flock becomes the catalog's
 conditional-put).
@@ -52,6 +53,14 @@ conditional-put).
   skips whole commit dirs whose range cannot intersect — the Iceberg
   min/max partition-pruning pattern. Exactness: pruning only ever *skips*
   dirs proven disjoint; dirs without stats are always read.
+- **Schema evolution (add-column)**: each commit records its column list +
+  types in the manifest; appending a DataFrame with NEW columns is allowed
+  (reads of mixed-schema snapshots union the fields — old rows read NULL in
+  the added columns, the Iceberg add-column contract), while changing an
+  existing column's TYPE is rejected loudly at commit time (Iceberg permits
+  only explicit promotions; silent parquet-level type conflicts would fail
+  at read time, far from the writer that caused them). Dropping a column =
+  appending without it; the column stays readable (NULL for new rows).
 """
 
 from __future__ import annotations
@@ -301,6 +310,7 @@ class SnapshotTable:
         op: str,
         meta: dict | None,
         stats_entry: dict | None,
+        schema_entry: list[list[str]] | None = None,
     ) -> int:
         """The metadata half of a commit, shared by the Spark and
         driver-local data paths: under the commit lock, chain onto the
@@ -315,11 +325,30 @@ class SnapshotTable:
             # old readers keep seeing the data their id referred to)
             new_id = self._max_snapshot_id() + 1
             if op == "overwrite" or parent is None:
-                files, stats = [], {}
+                files, stats, schemas = [], {}, {}
             else:
                 pm = self._manifest(parent)
                 files = list(pm["files"])
                 stats = dict(pm.get("stats", {}))
+                schemas = dict(pm.get("schemas", {}))
+            if schema_entry is not None:
+                # add-column evolution is fine; a TYPE change of an existing
+                # column is rejected here, inside the lock, where the parent
+                # chain is authoritative (Iceberg allows only explicit
+                # promotions — a silent conflict would surface as a parquet
+                # merge failure at read time, far from this writer)
+                new_types = dict(schema_entry)
+                for d, entry in schemas.items():
+                    for name, typ in entry:
+                        if name in new_types and new_types[name] != typ:
+                            raise TypeError(
+                                f"schema evolution of {self.path} rejected: "
+                                f"column '{name}' is {typ} in commit {d} but "
+                                f"{new_types[name]} in the new commit — add "
+                                f"columns freely, but type changes need an "
+                                f"explicit table rewrite (overwrite)"
+                            )
+                schemas[commit_dir] = schema_entry
             files.append(commit_dir)
             if stats_entry is not None:
                 stats[commit_dir] = stats_entry
@@ -329,6 +358,7 @@ class SnapshotTable:
                 "op": op,
                 "files": files,
                 "stats": stats,
+                "schemas": schemas,
                 "meta": meta,
                 "committed_at": time.time(),
             }
@@ -357,7 +387,10 @@ class SnapshotTable:
         stats_entry = (
             self._commit_stats(df.sparkSession, abs_dir) if self.stats_cols else None
         )
-        return self._finish_commit(commit_dir, op, meta, stats_entry)
+        schema_entry = [
+            [f.name, f.dataType.simpleString()] for f in df.schema.fields
+        ]
+        return self._finish_commit(commit_dir, op, meta, stats_entry, schema_entry)
 
     def _commit_local(
         self,
@@ -399,7 +432,10 @@ class SnapshotTable:
                     vals = [r[c] for r in rows if r[c] is not None]
                     cols[c] = [min(vals), max(vals)] if vals else [None, None]
             stats_entry = {"n_rows": len(rows), "cols": cols}
-        return self._finish_commit(commit_dir, op, meta, stats_entry)
+        schema_entry = [
+            [f.name, f.dataType.simpleString()] for f in schema.fields
+        ]
+        return self._finish_commit(commit_dir, op, meta, stats_entry, schema_entry)
 
     def append(self, df: DataFrame, meta: dict | None = None) -> int:
         return self._commit(df, "append", meta=meta)
@@ -623,6 +659,24 @@ class SnapshotTable:
                 kept.append(d)
         return kept
 
+    def _needs_schema_merge(self, manifest: dict, dirs: list[str]) -> bool:
+        """True when the dirs about to be scanned were written with more
+        than one distinct schema (add-column evolution happened inside this
+        snapshot): the scan must then union parquet schemas so old rows read
+        NULL in added columns. A single-schema snapshot keeps the plain
+        (cheaper, footer-skipping) read. Dirs from pre-evolution manifests
+        carry no schema record and can't force a merge on their own."""
+        schemas = manifest.get("schemas", {})
+        seen = {json.dumps(schemas[d]) for d in dirs if d in schemas}
+        return len(seen) > 1
+
+    def _read_paths(self, spark, dirs: list[str], manifest: dict) -> DataFrame:
+        paths = [os.path.join(self._data_dir, d) for d in dirs]
+        reader = spark.read
+        if self._needs_schema_merge(manifest, dirs):
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
+
     def read_incremental(
         self,
         spark: SparkSession,
@@ -679,9 +733,7 @@ class SnapshotTable:
             )
         if not new_dirs:
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(
-            *[os.path.join(self._data_dir, d) for d in new_dirs]
-        )
+        return self._read_paths(spark, new_dirs, self._manifest(current))
 
     def read(
         self,
@@ -702,5 +754,4 @@ class SnapshotTable:
                     f"fully pruned read of {self.path} needs an explicit schema"
                 )
             return spark.createDataFrame([], schema)
-        paths = [os.path.join(self._data_dir, d) for d in files]
-        return spark.read.parquet(*paths)
+        return self._read_paths(spark, files, self._manifest(sid))
