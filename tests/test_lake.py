@@ -58,7 +58,16 @@ def test_footer_stats_match_agg_fallback(spark, tmp_path):
     assert fast is not None, "int column must take the footer fast path"
     t._FOOTER_EXACT = ()  # force the agg fallback on the same dir
     slow = t._commit_stats(spark, d)
-    assert fast == slow == {"n_rows": 1000, "cols": {"settled_round": [0, 6]}}
+    assert {k: fast[k] for k in ("n_rows", "cols")} == slow == {
+        "n_rows": 1000,
+        "cols": {"settled_round": [0, 6]},
+    }
+    # per-file granularity rides along: files partition the commit's rows
+    per_file = fast["files"]
+    assert sum(fs["n_rows"] for fs in per_file.values()) == 1000
+    for fs in per_file.values():
+        lo, hi = fs["cols"]["settled_round"]
+        assert 0 <= lo <= hi <= 6
 
 
 def test_footer_stats_all_null_and_string_fallback(spark, tmp_path):
@@ -71,7 +80,8 @@ def test_footer_stats_all_null_and_string_fallback(spark, tmp_path):
         )
     )
     [d] = [os.path.join(t._data_dir, n) for n in t.data_dirs()]
-    assert t._footer_stats(d) == {
+    fast = t._footer_stats(d)
+    assert {k: fast[k] for k in ("n_rows", "cols")} == {
         "n_rows": 5,
         "cols": {"settled_round": [None, None]},
     }
@@ -489,3 +499,61 @@ def test_schema_evolution_incremental_and_compact(spark, tmp_path):
     got = t.read(spark)
     assert set(got.columns) == {"url_hash", "settled_round", "depth"}
     assert got.count() == 9
+
+
+def test_per_file_stats_prune_within_commit(spark, tmp_path):
+    """A commit whose files have disjoint ranges prunes at FILE granularity:
+    the scan reads only the files whose footer min/max intersects."""
+    t = SnapshotTable(str(tmp_path / "t"), stats_cols=["settled_round"])
+    df = (
+        spark.range(0, 400)
+        .select(
+            F.col("id").alias("url_hash"),
+            (F.col("id") % 8).cast("int").alias("settled_round"),
+        )
+        .repartitionByRange(4, "settled_round")
+        .sortWithinPartitions("settled_round")
+    )
+    t.overwrite(df)
+    [d] = t.data_dirs()
+    n_files = len(
+        [n for n in os.listdir(os.path.join(t._data_dir, d)) if n.endswith(".parquet")]
+    )
+    assert n_files == 4
+    paths, kept = t.scan_paths(prune={"settled_round": (0, 1)})
+    assert kept == [d]
+    # only the file(s) covering rounds 0-1 survive — not the whole dir
+    assert 1 <= len(paths) < n_files
+    assert all(p.endswith(".parquet") for p in paths)
+    got = t.read(spark, prune={"settled_round": (0, 1)}).filter(
+        F.col("settled_round") <= 1
+    )
+    assert got.count() == 100
+
+
+def test_compaction_keeps_pruning_effective(spark, tmp_path):
+    """After compact() the table is ONE commit dir, so dir-level pruning
+    can't skip anything — but the range-sorted rewrite leaves per-file
+    footer stats disjoint, so pruned reads still skip files."""
+    t = SnapshotTable(str(tmp_path / "t"), stats_cols=["settled_round"])
+    t.overwrite(_mk_round(spark, 0, 500, 1))
+    for rnd in range(2, 9):
+        t.append(_mk_round(spark, (rnd - 1) * 500, rnd * 500, rnd))
+    t.compact(spark, target_files=8)
+    [d] = t.data_dirs()
+    all_paths, _ = t.scan_paths()
+    pruned_paths, kept = t.scan_paths(prune={"settled_round": (3, 3)})
+    assert kept == [d]
+    n_files = len(
+        [n for n in os.listdir(os.path.join(t._data_dir, d)) if n.endswith(".parquet")]
+    )
+    assert len(pruned_paths) < n_files, "post-compaction prune must skip files"
+    got = t.read(spark, prune={"settled_round": (3, 3)})
+    assert got.filter(F.col("settled_round") == 3).count() == 500
+    assert got.count() < 4000  # the scan really was narrower than the table
+
+
+def _mk_round(spark, lo, hi, rnd):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("url_hash"), F.lit(rnd).cast("int").alias("settled_round")
+    )

@@ -36,9 +36,12 @@ serialize under an exclusive flock — the parent snapshot is re-read inside
 the critical section, so interleaved writers chain correctly instead of
 last-write-winning the ``_current`` swap; data files land outside the lock
 (writers only serialize on the metadata swap), and a writer that cannot get
-the lock fails loudly. It also has add-column schema evolution (below). It
-does NOT have: per-*file* (vs per-commit) stats granularity, type-promotion
-schema evolution, or a catalog. On a cluster with the Iceberg
+the lock fails loudly. It also has add-column schema evolution (below) and
+per-FILE stats granularity (footer-stats commits record each file's min/max;
+``scan_paths`` prunes individual files, and ``compact`` range-sorts its
+rewrite so post-compaction files stay disjoint and prunable — Iceberg's
+sorted rewrite_data_files). It does NOT have: type-promotion schema
+evolution or a catalog. On a cluster with the Iceberg
 runtime jars the same call sites swap to a catalog table unchanged (the API
 is snapshot-id-compatible by design; the flock becomes the catalog's
 conditional-put).
@@ -213,7 +216,13 @@ class SnapshotTable:
         """Fold per-row-group parquet statistics into the commit's stats
         entry without a Spark job. Returns None (→ agg fallback) when any
         stats column is a type whose footer min/max isn't exact, or a row
-        group with non-null values lacks min/max."""
+        group with non-null values lacks min/max.
+
+        Alongside the per-commit fold, the entry records each FILE's own
+        min/max under ``files`` — the Iceberg per-file granularity. File
+        stats make pruning survive compaction: a compacted table is ONE
+        commit dir, so dir-level ranges span everything, but its
+        range-sorted files stay disjoint and prune individually."""
         import pyarrow.parquet as pq
 
         try:
@@ -224,6 +233,7 @@ class SnapshotTable:
             return None
         n_rows = 0
         agg: dict[str, list] = {}
+        per_file: dict[str, dict] = {}
         cols: list[str] | None = None
         for name in names:
             try:
@@ -238,6 +248,7 @@ class SnapshotTable:
                     if not t.startswith(self._FOOTER_EXACT):
                         return None
                     agg[c] = [None, None]
+            fagg: dict[str, list] = {c: [None, None] for c in cols}
             n_rows += md.num_rows
             for rg in range(md.num_row_groups):
                 group = md.row_group(rg)
@@ -260,9 +271,15 @@ class SnapshotTable:
                         st.min if lo is None else min(lo, st.min),
                         st.max if hi is None else max(hi, st.max),
                     ]
+                    flo, fhi = fagg[c]
+                    fagg[c] = [
+                        st.min if flo is None else min(flo, st.min),
+                        st.max if fhi is None else max(fhi, st.max),
+                    ]
+            per_file[name] = {"n_rows": md.num_rows, "cols": fagg}
         if cols is None:  # no data files: let the agg path decide
             return None
-        return {"n_rows": n_rows, "cols": agg}
+        return {"n_rows": n_rows, "cols": agg, "files": per_file}
 
     def _commit_lock(self, timeout_sec: float = 60.0):
         """Exclusive flock serializing the commit critical section — the
@@ -504,7 +521,7 @@ class SnapshotTable:
             self._meta_cache[key] = (current, frozenset(out))
         return out
 
-    def compact(self, spark: SparkSession) -> int:
+    def compact(self, spark: SparkSession, target_files: int | None = None) -> int:
         """Rewrite the table's current contents into ONE commit dir (the
         Iceberg rewrite_data_files maintenance op): a long-running crawl
         appends one dir per round, and scans eventually pay per-dir open
@@ -516,6 +533,18 @@ class SnapshotTable:
         commit metadata (``carried_meta``), so idempotence markers
         (``applied_meta``) survive compaction + expiration of the original
         commits — the exactly-once guarantees built on them stay intact.
+
+        With ``stats_cols``, the rewrite is RANGE-SORTED on them (Iceberg's
+        sorted rewrite_data_files): the single output dir's files get
+        disjoint min/max ranges, so per-file footer stats keep pruned scans
+        effective after compaction — otherwise one dir-level range spans
+        the whole table and pruning degrades to a full scan.
+        ``target_files`` pins the output file count (Iceberg's target file
+        size, expressed as a count); default None lets AQE size the shuffle
+        — at scale that yields advisory-sized files whose ranges stay
+        disjoint (coalescing merges only ADJACENT range partitions), but on
+        tiny tables it may collapse to one file, so maintenance paths that
+        rely on post-compaction pruning pass an explicit count.
         Returns the new snapshot id."""
         carried: dict[str, set] = {}
         sid = self.current_snapshot_id()
@@ -537,7 +566,15 @@ class SnapshotTable:
         meta: dict = {"compaction": True}
         if carried:
             meta["carried_meta"] = {k: sorted(vs) for k, vs in carried.items()}
-        return self.overwrite(self.read(spark), meta=meta)
+        df = self.read(spark)
+        sort_cols = [c for c in self.stats_cols if c in df.columns]
+        if sort_cols:
+            if target_files is not None:
+                df = df.repartitionByRange(target_files, *sort_cols)
+            else:
+                df = df.repartitionByRange(*sort_cols)
+            df = df.sortWithinPartitions(*sort_cols)
+        return self.overwrite(df, meta=meta)
 
     def expire_snapshots(
         self, keep_last: int = 1, in_flight_grace_s: float = 6 * 3600.0
@@ -645,19 +682,66 @@ class SnapshotTable:
                 continue
             if s.get("n_rows") == 0:
                 continue  # empty commit: nothing to scan
-            drop = False
-            for col, (lo, hi) in prune.items():
-                rng = s.get("cols", {}).get(col)
-                if rng is None or rng[0] is None or rng[1] is None:
-                    continue  # no usable stats for this column → can't prune
-                if (hi is not None and rng[0] > hi) or (
-                    lo is not None and rng[1] < lo
-                ):
-                    drop = True
-                    break
-            if not drop:
+            if not self._disjoint(s.get("cols", {}), prune):
                 kept.append(d)
         return kept
+
+    @staticmethod
+    def _disjoint(cols_stats: dict, prune: dict) -> bool:
+        """True when the recorded min/max ranges PROVE no row can satisfy
+        ``prune``. Columns without usable stats never prune."""
+        for col, (lo, hi) in prune.items():
+            rng = cols_stats.get(col)
+            if rng is None or rng[0] is None or rng[1] is None:
+                continue
+            if (hi is not None and rng[0] > hi) or (
+                lo is not None and rng[1] < lo
+            ):
+                return True
+        return False
+
+    def scan_paths(
+        self,
+        snapshot_id: int | None = None,
+        prune: dict[str, tuple] | None = None,
+    ) -> tuple[list[str], list[str]]:
+        """(reader paths, kept commit dirs) for a pruned scan. On top of the
+        dir-level pruning of ``data_dirs``, commits that recorded per-FILE
+        footer stats prune individual parquet files — the Iceberg file-level
+        granularity. This is what keeps pruning effective after compaction:
+        the compacted table is ONE dir (dir-level ranges span everything),
+        but its range-sorted files stay disjoint and are skipped here."""
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if sid is None:
+            return [], []
+        dirs = self.data_dirs(sid, prune)
+        if not prune:
+            return [os.path.join(self._data_dir, d) for d in dirs], dirs
+        stats = self._manifest(sid).get("stats", {})
+        paths: list[str] = []
+        kept_dirs: list[str] = []
+        for d in dirs:
+            per_file = (stats.get(d) or {}).get("files")
+            if not per_file:
+                paths.append(os.path.join(self._data_dir, d))
+                kept_dirs.append(d)
+                continue
+            kept_files = [
+                name
+                for name, fs in sorted(per_file.items())
+                if fs.get("n_rows") != 0
+                and not self._disjoint(fs.get("cols", {}), prune)
+            ]
+            if not kept_files:
+                continue
+            if len(kept_files) == len(per_file):
+                paths.append(os.path.join(self._data_dir, d))
+            else:
+                paths.extend(
+                    os.path.join(self._data_dir, d, name) for name in kept_files
+                )
+            kept_dirs.append(d)
+        return paths, kept_dirs
 
     def _needs_schema_merge(self, manifest: dict, dirs: list[str]) -> bool:
         """True when the dirs about to be scanned were written with more
@@ -670,8 +754,9 @@ class SnapshotTable:
         seen = {json.dumps(schemas[d]) for d in dirs if d in schemas}
         return len(seen) > 1
 
-    def _read_paths(self, spark, dirs: list[str], manifest: dict) -> DataFrame:
-        paths = [os.path.join(self._data_dir, d) for d in dirs]
+    def _read_paths(
+        self, spark, paths: list[str], dirs: list[str], manifest: dict
+    ) -> DataFrame:
         reader = spark.read
         if self._needs_schema_merge(manifest, dirs):
             reader = reader.option("mergeSchema", "true")
@@ -733,7 +818,12 @@ class SnapshotTable:
             )
         if not new_dirs:
             return spark.createDataFrame([], schema)
-        return self._read_paths(spark, new_dirs, self._manifest(current))
+        return self._read_paths(
+            spark,
+            [os.path.join(self._data_dir, d) for d in new_dirs],
+            new_dirs,
+            self._manifest(current),
+        )
 
     def read(
         self,
@@ -747,11 +837,11 @@ class SnapshotTable:
             if schema is None:
                 raise ValueError(f"empty table {self.path} needs an explicit schema")
             return spark.createDataFrame([], schema)
-        files = self.data_dirs(sid, prune)
-        if not files:
+        paths, kept_dirs = self.scan_paths(sid, prune)
+        if not paths:
             if schema is None:
                 raise ValueError(
                     f"fully pruned read of {self.path} needs an explicit schema"
                 )
             return spark.createDataFrame([], schema)
-        return self._read_paths(spark, files, self._manifest(sid))
+        return self._read_paths(spark, paths, kept_dirs, self._manifest(sid))
