@@ -40,8 +40,10 @@ the lock fails loudly. It also has add-column schema evolution (below) and
 per-FILE stats granularity (footer-stats commits record each file's min/max;
 ``scan_paths`` prunes individual files, and ``compact`` range-sorts its
 rewrite so post-compaction files stay disjoint and prunable — Iceberg's
-sorted rewrite_data_files). It does NOT have: type-promotion schema
-evolution or a catalog. On a cluster with the Iceberg
+sorted rewrite_data_files); named-table addressing lives in
+``sources/catalog.py`` (create/load/list/drop with per-table config
+ownership). It does NOT have type-promotion schema
+evolution. On a cluster with the Iceberg
 runtime jars the same call sites swap to a catalog table unchanged (the API
 is snapshot-id-compatible by design; the flock becomes the catalog's
 conditional-put).
