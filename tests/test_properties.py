@@ -146,7 +146,16 @@ def test_footer_stats_fold_matches_ground_truth(tmp_path_factory, files, rg_rows
     present = [v for v in flat if v is not None]
     want_min = min(present) if present else None
     want_max = max(present) if present else None
-    assert got == {
-        "n_rows": len(flat),
-        "cols": {"settled_round": [want_min, want_max]},
-    }
+    assert got["n_rows"] == len(flat)
+    assert got["cols"] == {"settled_round": [want_min, want_max]}
+    # per-FILE granularity (the post-compaction pruning path): each file's
+    # entry must equal the exact min/max/count of that file alone
+    assert sorted(got["files"]) == [f"part-{i:05d}.parquet" for i in range(len(files))]
+    for i, vals in enumerate(files):
+        fpresent = [v for v in vals if v is not None]
+        fmin = min(fpresent) if fpresent else None
+        fmax = max(fpresent) if fpresent else None
+        assert got["files"][f"part-{i:05d}.parquet"] == {
+            "n_rows": len(vals),
+            "cols": {"settled_round": [fmin, fmax]},
+        }
