@@ -1,0 +1,150 @@
+"""Deterministic sampling operators (operators/sampling.py).
+
+The properties a 100 TB curation pipeline depends on:
+- membership is a pure function of the key (partitioning-invariant —
+  the exact property ``df.sample`` lacks);
+- stratified rates are enforced per stratum and auditable via the bucket;
+- hash_split is disjoint-exhaustive and decorrelated from the sample hash;
+- the column-expression mix equals a pure-Python replay bit for bit
+  (the DuckDB oracle runs the same arithmetic);
+- the plan is scan→project→filter with NO exchange.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from web_crawler_spark.operators.sampling import (
+    DEFAULT_DENOM,
+    MIX_A,
+    MIX_P,
+    bucket_col,
+    bucket_sql,
+    hash_split,
+    stratified_sample,
+)
+
+RATES = {"en": 2500, "de": 5000}
+SPLITS = [("train", 8000), ("val", 1000), ("test", 1000)]
+
+
+def _docs(spark, n=2000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de")
+        .otherwise("zh")
+        .alias("lang"),
+    )
+
+
+def _py_bucket(key: int, salt: int = 0, denom: int = DEFAULT_DENOM) -> int:
+    return ((key % MIX_P + salt) % MIX_P * MIX_A) % MIX_P % denom
+
+
+def test_bucket_matches_python_replay(spark):
+    keys = [
+        0, 1, 2, 17, -5, MIX_P - 1, MIX_P, MIX_P + 3,
+        2**63 - 1, -(2**63), 2**62, -(2**62),  # full int64 range incl. xxhash64 extremes
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"k": keys}))
+    got = {
+        r.k: r.b
+        for r in df.select("k", bucket_col(F.col("k"), salt=7919).alias("b")).collect()
+    }
+    for k in keys:
+        assert got[k] == _py_bucket(k, salt=7919), k
+
+
+def test_bucket_sql_twin_matches(spark):
+    """The ANSI-SQL spelling of the mix (what the DuckDB oracle runs)
+    equals the column expression on the same keys, negatives included."""
+    import duckdb
+
+    keys = [0, 1, 17, -5, MIX_P - 1, MIX_P + 3, -(2**61), 2**63 - 1, -(2**63)]
+    df = spark.createDataFrame(pd.DataFrame({"k": keys}))
+    spark_vals = {
+        r.k: r.b
+        for r in df.select("k", bucket_col(F.col("k"), salt=3).alias("b")).collect()
+    }
+    expr = bucket_sql("k", salt=3)
+    values = ", ".join(f"(CAST({k} AS BIGINT))" for k in keys)
+    duck = duckdb.sql(
+        f"SELECT k, {expr} AS b FROM (VALUES {values}) AS t(k)"
+    ).fetchall()
+    for k, b in duck:
+        assert spark_vals[k] == b, k
+
+
+def test_stratified_rates_enforced_and_audited(spark):
+    out = stratified_sample(
+        _docs(spark), "lang", RATES, "doc_id", default_rate=500, bucket_out="bucket"
+    ).collect()
+    assert out, "sample must keep something at these rates"
+    for r in out:
+        rate = RATES.get(r.lang, 500)
+        assert r.bucket == _py_bucket(r.doc_id)
+        assert r.bucket < rate
+    # exact expected membership from the Python replay
+    langs = {r.doc_id: r.lang for r in _docs(spark).collect()}
+    want = {
+        d for d, lang in langs.items() if _py_bucket(d) < RATES.get(lang, 500)
+    }
+    assert {r.doc_id for r in out} == want
+
+
+def test_membership_is_partitioning_invariant(spark):
+    base = _docs(spark)
+    a = stratified_sample(base, "lang", RATES, "doc_id")
+    b = stratified_sample(base.repartition(37, "lang"), "lang", RATES, "doc_id")
+    assert {r.doc_id for r in a.collect()} == {r.doc_id for r in b.collect()}
+
+
+def test_hash_split_disjoint_exhaustive_and_decorrelated(spark):
+    out = hash_split(_docs(spark), "doc_id", SPLITS, salt=7919).collect()
+    assert len(out) == 2000  # exhaustive: every row assigned
+    by_split: dict[str, set] = {}
+    for r in out:
+        assert r.split in {"train", "val", "test"}
+        by_split.setdefault(r.split, set()).add(r.doc_id)
+    assert sum(len(v) for v in by_split.values()) == 2000  # disjoint
+    # ranges replayed in Python
+    for r in out:
+        b = _py_bucket(r.doc_id, salt=7919)
+        want = "train" if b < 8000 else ("val" if b < 9000 else "test")
+        assert r.split == want
+    # decorrelation sanity: the sampled-in set is not nested inside train
+    sampled = {
+        r.doc_id
+        for r in stratified_sample(_docs(spark), "lang", RATES, "doc_id").collect()
+    }
+    assert sampled - by_split.get("train", set()), (
+        "sample and split hashes must not be the same function"
+    )
+
+
+def test_split_weights_validated(spark):
+    import pytest
+
+    df = _docs(spark)
+    with pytest.raises(ValueError, match="sum to"):
+        hash_split(df, "doc_id", [("train", 9000), ("val", 500)])
+    with pytest.raises(ValueError, match="duplicate"):
+        hash_split(df, "doc_id", [("a", 5000), ("a", 5000)])
+
+
+def test_plan_has_no_exchange(spark):
+    """scan → project → filter only: sampling must add zero shuffles at any
+    scale (the property that makes it free at 100 TB)."""
+    plan = stratified_sample(
+        _docs(spark), "lang", RATES, "doc_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    plan2 = (
+        hash_split(_docs(spark), "doc_id", SPLITS)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan2

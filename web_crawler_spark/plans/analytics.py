@@ -865,6 +865,79 @@ FROM documents
 """
 
 
+_SAMPLE_RATES = {"en": 2500, "de": 5000, "fr": 7500, "es": 1000}
+_SAMPLE_DEFAULT = 500  # zh and anything unlisted
+_SPLIT_WEIGHTS = [("train", 8000), ("val", 1000), ("test", 1000)]
+_SPLIT_SALT = 7919  # decorrelates the split hash from the sampling hash
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language corpus balancing: keep-rate per lang in
+    basis points, membership a pure function of doc_id (no RNG, no shuffle,
+    partitioning-invariant — the 100 TB-safe sampling shape). The bucket is
+    materialized so the keep decision is auditable in the output."""
+    from ..operators.sampling import stratified_sample
+
+    d = t(spark, sf_dir, "documents")
+    return stratified_sample(
+        d.select("doc_id", "lang"),
+        "lang",
+        _SAMPLE_RATES,
+        "doc_id",
+        default_rate=_SAMPLE_DEFAULT,
+        bucket_out="bucket",
+    )
+
+
+def _sample_case_sql() -> str:
+    whens = "\n         ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in sorted(_SAMPLE_RATES.items())
+    )
+    return f"CASE lang {whens} ELSE {_SAMPLE_DEFAULT} END"
+
+
+def _bucket_sql_expr(salt: int = 0) -> str:
+    from ..operators.sampling import bucket_sql
+
+    return bucket_sql("doc_id", salt=salt)
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH b AS (
+  SELECT doc_id, lang, {_bucket_sql_expr()} AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, CAST(bucket AS INTEGER) AS bucket
+FROM b
+WHERE bucket < {_sample_case_sql()}
+"""
+
+
+def q_hash_split(spark, sf_dir):
+    """Disjoint-exhaustive train/val/test assignment by contiguous bucket
+    ranges over a salted hash of doc_id — a row can never migrate between
+    splits across runs, repartitionings, or cluster sizes."""
+    from ..operators.sampling import hash_split
+
+    d = t(spark, sf_dir, "documents")
+    return hash_split(
+        d.select("doc_id", "lang"), "doc_id", _SPLIT_WEIGHTS, salt=_SPLIT_SALT
+    )
+
+
+SQL_HASH_SPLIT = f"""
+WITH b AS (
+  SELECT doc_id, lang, {_bucket_sql_expr(_SPLIT_SALT)} AS bucket
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
 def q_corpus_curation(spark, sf_dir):
     """The training-data pipeline end-to-end in one declarative plan:
     language-ID gate (en) → quality-score gate (≥ 0.5) → near-dup pruning
@@ -2890,6 +2963,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
+    # training-data pipeline: deterministic sampling (shuffle-free,
+    # partitioning-invariant — the 100 TB-safe sampling shape)
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     # training-data pipeline: similarity search
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
