@@ -557,3 +557,36 @@ def _mk_round(spark, lo, hi, rnd):
     return spark.range(lo, hi).select(
         F.col("id").alias("url_hash"), F.lit(rnd).cast("int").alias("settled_round")
     )
+
+
+def test_time_travel_as_of_timestamp(spark, tmp_path):
+    """read(as_of=ts) resolves the latest current-chain ancestor committed
+    at or before ts; predating the oldest retained snapshot raises."""
+    import time
+
+    import pytest
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    before_any = time.time()
+    with pytest.raises(ValueError, match="no snapshots"):
+        t.snapshot_as_of(before_any)
+    s1 = t.overwrite(_mk_round(spark, 0, 5, 1))
+    after_s1 = time.time()
+    s2 = t.append(_mk_round(spark, 5, 9, 2))
+    after_s2 = time.time()
+    s3 = t.append(_mk_round(spark, 9, 12, 3))
+
+    assert t.snapshot_as_of(after_s1) == s1
+    assert t.snapshot_as_of(after_s2) == s2
+    assert t.snapshot_as_of(time.time()) == s3
+    assert t.read(spark, as_of=after_s2).count() == 9
+    assert t.read(spark, as_of=after_s1).count() == 5
+    with pytest.raises(ValueError, match="at or before"):
+        t.snapshot_as_of(before_any)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(spark, snapshot_id=s1, as_of=after_s1)
+    # expired chains refuse time travel past the retained window
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="at or before"):
+        t.snapshot_as_of(after_s1)
+    assert t.snapshot_as_of(time.time()) == s3

@@ -29,7 +29,9 @@ the directory list and parallelizes the scan. At 1000-executor scale the
 same layout holds — the commit path is driver-only metadata.
 
 Delta vs real Iceberg (documented per VERDICT r1 §Missing-2): this table has
-Iceberg's snapshot isolation, atomic commit, time travel, append/overwrite,
+Iceberg's snapshot isolation, atomic commit, time travel (by snapshot id
+and by timestamp — ``read(as_of=ts)`` resolves along the current ancestry
+chain), append/overwrite,
 commit metadata, (with ``stats_cols``) per-commit min/max column stats with
 scan pruning, and a **concurrent-writer protocol** (VERDICT r2 #4): commits
 serialize under an exclusive flock — the parent snapshot is re-read inside
@@ -649,6 +651,32 @@ class SnapshotTable:
             self._meta_cache.clear()
             return deleted
 
+    def snapshot_as_of(self, ts: float) -> int:
+        """The snapshot id to read for time-travel to wall-clock ``ts``: the
+        latest ancestor of the CURRENT snapshot with ``committed_at <= ts``
+        (every manifest records its commit time). Resolution follows the
+        current lineage — like Iceberg ancestor-based travel, a snapshot
+        abandoned by a rollback is not addressable by timestamp (we keep no
+        separate snapshot-log of ``_current`` history). Raises when ``ts``
+        predates the oldest retained snapshot (expired chains included:
+        their manifests are gone, so travel past them is refused loudly
+        rather than silently answering with a younger snapshot)."""
+        sid = self.current_snapshot_id()
+        if sid is None:
+            raise ValueError(f"table {self.path} has no snapshots")
+        while sid is not None:
+            try:
+                m = self._manifest(sid)
+            except FileNotFoundError:
+                break  # chain expired past here
+            if float(m.get("committed_at") or 0.0) <= ts:
+                return int(m["id"])
+            sid = m.get("parent")
+        raise ValueError(
+            f"no snapshot of {self.path} at or before ts={ts} "
+            f"(older snapshots may have been expired)"
+        )
+
     def rollback(self, snapshot_id: int) -> None:
         """Point _current back at an earlier snapshot (crash-resume path)."""
         with self._commit_lock():
@@ -833,7 +861,12 @@ class SnapshotTable:
         snapshot_id: int | None = None,
         schema: StructType | None = None,
         prune: dict[str, tuple] | None = None,
+        as_of: float | None = None,
     ) -> DataFrame:
+        if as_of is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id OR as_of, not both")
+            snapshot_id = self.snapshot_as_of(as_of)
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
         if sid is None:
             if schema is None:
