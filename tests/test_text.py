@@ -130,3 +130,31 @@ def test_winnow_matches_naive_python(spark):
         ).collect()
     )
     assert got == expected
+
+
+def test_word_bigrams_and_nonblank_lines(spark):
+    from web_crawler_spark.functions.text import nonblank_lines, word_bigrams
+
+    rows = spark.createDataFrame(
+        [
+            (1, "The quick brown fox"),
+            (2, "one"),          # <2 words: guard against sequence(1, 0)
+            (3, ""),
+            (4, "a b a b a b"),  # repeated bigrams keep multiplicity
+            (5, "x\n\n  \nx\ny\n"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.bg, r.ls)
+        for r in rows.select(
+            "doc_id",
+            word_bigrams(F.col("text")).alias("bg"),
+            nonblank_lines(F.col("text")).alias("ls"),
+        ).collect()
+    }
+    assert got[1][0] == ["the quick", "quick brown", "brown fox"]
+    assert got[2][0] == []
+    assert got[3][0] == []
+    assert got[4][0] == ["a b", "b a", "a b", "b a", "a b"]
+    assert got[5][1] == ["x", "x", "y"]  # blanks and whitespace-only dropped

@@ -259,3 +259,60 @@ def test_neardup_index_build_probe_split(spark, tmp_path):
         k=5, perms=32, bands=4, threshold=0.8,
     )
     assert TD.INDEX_BUILDS == before + 2
+
+
+def test_contamination_check_direction_and_threshold(spark):
+    """The denominator is the BENCHMARK side: a short prompt embedded in a
+    long doc is flagged even though symmetric Jaccard would be tiny; a
+    prompt sharing nothing is not; the threshold is exact in basis points."""
+    prompt = "the quick brown fox jumps over the lazy dog"
+    long_doc = ("x" * 500) + prompt + ("y" * 500)
+    corpus = spark.createDataFrame(
+        [
+            (1, long_doc),  # contains the prompt verbatim
+            (2, "completely unrelated material about spark partitions " * 4),
+            (3, prompt[: len(prompt) // 2] + " zebra " * 20),  # half the prompt
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, prompt)], "bench_id long, text string")
+
+    hits = TD.contamination_check(corpus, bench, k=8, min_frac_bp=8000).collect()
+    assert [(r.doc_id, r.bench_id) for r in hits] == [(1, 100)]
+    full = {r.doc_id: r for r in hits}
+    assert full[1].n_hits == full[1].n_bench  # verbatim: every shingle found
+
+    # lowering the threshold admits the half-contained doc
+    loose = TD.contamination_check(corpus, bench, k=8, min_frac_bp=2500)
+    got = sorted((r.doc_id, r.bench_id) for r in loose.collect())
+    assert got == [(1, 100), (3, 100)]
+
+    # python ground truth for the partial doc's counts
+    row3 = next(r for r in loose.collect() if r.doc_id == 3)
+    bsh = {prompt[i : i + 8] for i in range(len(prompt) - 7)}
+    csh = {
+        (prompt[: len(prompt) // 2] + " zebra " * 20)[i : i + 8]
+        for i in range(len(prompt[: len(prompt) // 2] + " zebra " * 20) - 7)
+    }
+    assert row3.n_bench == len(bsh)
+    assert row3.n_hits == len(bsh & csh)
+
+
+def test_contamination_check_broadcasts_benchmark(spark):
+    """The benchmark side must broadcast — the corpus-side shingle explosion
+    never shuffles against a distributed build side."""
+    corpus = spark.createDataFrame(
+        [(i, f"document number {i} with some shared phrasing") for i in range(50)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "document number 0 with some shared phrasing")],
+        "bench_id long, text string",
+    )
+    plan = (
+        TD.contamination_check(corpus, bench, k=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan

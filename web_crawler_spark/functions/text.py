@@ -119,6 +119,26 @@ def words(c: Column) -> Column:
     return F.regexp_extract_all(F.lower(c), F.lit(WORD_RE), F.lit(0))
 
 
+def word_bigrams(c: Column) -> Column:
+    """Adjacent lowercase word bigrams (array<string>, space-joined, NOT
+    distinct — repetition measurement needs multiplicities). Guarded like
+    ``char_shingles``: Spark's ``sequence(1, 0)`` counts DOWN, so texts
+    with <2 words must short-circuit to the empty array."""
+    w = words(c)
+    n = F.size(w)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    )
+    return F.when(n >= 2, grams).otherwise(F.array().cast("array<string>"))
+
+
+def nonblank_lines(c: Column) -> Column:
+    """Non-blank lines (array<string>, NOT distinct) for duplicate-line
+    repetition signals (the Gopher §A.1.1 dup-line fraction)."""
+    return F.filter(F.split(c, "\n"), lambda l: F.length(F.trim(l)) > 0)
+
+
 def char_shingles(c: Column, k: int = 5) -> Column:
     """Distinct character k-grams (array<string>); empty array if len < k.
 

@@ -677,3 +677,63 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    corpus_id: str = "doc_id",
+    bench_id: str = "bench_id",
+    corpus_text: str = "text",
+    bench_text: str = "text",
+    k: int = 8,
+    min_frac_bp: int = 5000,
+) -> DataFrame:
+    """Eval-set decontamination: which corpus documents contain which
+    benchmark documents' content, measured as the fraction of the BENCHMARK
+    doc's distinct character k-gram shingles that appear in the corpus doc.
+
+    The canonical pre-training hygiene pass: before a corpus ships, every
+    eval/benchmark prompt is checked for verbatim-ish leakage into the
+    training set (the GPT-3 appendix-C / Gopher §A.5 n-gram overlap method,
+    direction-sensitive: a 100-shingle benchmark prompt fully contained in
+    a 10^6-shingle document IS contamination, so the denominator is the
+    benchmark side, never a symmetric Jaccard).
+
+    Shape at 100 TB: the benchmark side is small by construction (eval sets
+    are thousands of prompts, not billions), so its exploded shingle table
+    broadcasts; the corpus side explodes shingles ONCE and equi-joins the
+    broadcast — corpus rows sharing no shingle with any benchmark never
+    leave their scan partition, and the only shuffle is the per-(corpus,
+    bench) pair count. Threshold is integer-exact in basis points:
+    keep iff n_hits · 10⁴ ≥ min_frac_bp · n_bench.
+
+    Output: (corpus_id, bench_id, n_hits, n_bench) — all exact ints so the
+    SQL oracle can replay the decision with zero float drift.
+    """
+    c_ex = _shingled(corpus, corpus_id, corpus_text, k).select(
+        F.col("doc_id").alias("__cid"), F.explode("shingles").alias("h")
+    )
+    b_sh = _shingled(benchmark, bench_id, bench_text, k)
+    b_ex = b_sh.select(
+        F.col("doc_id").alias("__bid"),
+        F.size("shingles").alias("n_bench"),
+        F.explode("shingles").alias("h"),
+    )
+    hits = (
+        c_ex.join(F.broadcast(b_ex), "h")
+        .groupBy("__cid", "__bid", "n_bench")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        hits.filter(
+            F.col("n_hits") * 10000 >= F.lit(int(min_frac_bp)) * F.col("n_bench")
+        )
+        .select(
+            F.col("__cid").alias(corpus_id),
+            F.col("__bid").alias(bench_id),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.col("n_bench").cast("long").alias("n_bench"),
+        )
+    )

@@ -865,6 +865,123 @@ FROM documents
 """
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals per document, all exact ints:
+    non-blank line count + duplicate-line count (identical lines repeated
+    verbatim — boilerplate/spam marker) and word-bigram totals + the top
+    bigram's multiplicity (high top-share = degenerate repetition). Line
+    features are pure column expressions; the top-bigram count is one
+    explode + two aggs keyed by doc_id — linear, map-side-combined, no
+    all-pairs stage."""
+    d = t(spark, sf_dir, "documents")
+    lines = T.nonblank_lines(F.col("text"))
+    line_feats = d.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        (F.size(lines) - F.size(F.array_distinct(lines)))
+        .cast("long")
+        .alias("n_dup_lines"),
+    )
+    bg = d.select("doc_id", F.explode(T.word_bigrams(F.col("text"))).alias("g"))
+    bg_feats = (
+        bg.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.max("c").cast("long").alias("top_bigram_n"),
+        )
+    )
+    return line_feats.join(bg_feats, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        "n_dup_lines",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.coalesce(F.col("top_bigram_n"), F.lit(0)).alias("top_bigram_n"),
+    )
+
+
+SQL_TEXT_REPETITION = """
+WITH l AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), x -> length(trim(x)) > 0) AS ls
+  FROM documents),
+lf AS (
+  SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+         CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS n_dup_lines
+  FROM l),
+w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS g
+  FROM w WHERE len(ws) >= 2),
+cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+bf AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(MAX(c) AS BIGINT) AS top_bigram_n
+  FROM cnt GROUP BY 1)
+SELECT lf.doc_id, lf.n_lines, lf.n_dup_lines,
+       COALESCE(bf.n_bigrams, 0) AS n_bigrams,
+       COALESCE(bf.top_bigram_n, 0) AS top_bigram_n
+FROM lf LEFT JOIN bf ON lf.doc_id = bf.doc_id
+"""
+
+
+_DECON_K = 8  # benchmark shingle width
+_DECON_BP = 8000  # keep iff ≥80% of the benchmark's shingles appear
+_DECON_OFF, _DECON_LEN = 41, 160  # the slice of each bench doc used as prompt
+
+
+def q_decontamination(spark, sf_dir):
+    """Eval-set decontamination: benchmark prompts (a deterministic slice
+    of every 31st document's text — stand-ins for eval questions) checked
+    for n-gram containment in the full corpus. Direction-sensitive: the
+    denominator is the BENCHMARK doc's shingle count (a prompt fully
+    embedded in a long document is contamination even at tiny Jaccard).
+    The benchmark side broadcasts; the corpus explodes shingles once."""
+    from ..operators.textdedup import contamination_check
+
+    d = t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 31 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.substring("text", _DECON_OFF, _DECON_LEN).alias("text"),
+    )
+    return contamination_check(
+        d, bench, k=_DECON_K, min_frac_bp=_DECON_BP
+    ).select("doc_id", "bench_id", "n_hits", "n_bench")
+
+
+SQL_DECONTAMINATION = f"""
+WITH bench AS (
+  SELECT doc_id AS bench_id, substr(text, {_DECON_OFF}, {_DECON_LEN}) AS text
+  FROM documents WHERE doc_id % 31 = 0),
+bsh AS (
+  SELECT bench_id, list_distinct(list_transform(
+           generate_series(1, length(text) - {_DECON_K - 1}),
+           i -> substr(text, i, {_DECON_K}))) AS grams
+  FROM bench WHERE length(text) >= {_DECON_K}),
+bex AS (SELECT bench_id, len(grams) AS n_bench, unnest(grams) AS g FROM bsh),
+csh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, length(text) - {_DECON_K - 1}),
+           i -> substr(text, i, {_DECON_K}))) AS grams
+  FROM documents WHERE length(text) >= {_DECON_K}),
+cex AS (SELECT doc_id, unnest(grams) AS g FROM csh),
+hits AS (
+  SELECT cex.doc_id, bex.bench_id, bex.n_bench, COUNT(*) AS n_hits
+  FROM cex JOIN bex ON cex.g = bex.g
+  GROUP BY 1, 2, 3)
+SELECT doc_id, bench_id,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_bench AS BIGINT) AS n_bench
+FROM hits
+WHERE n_hits * 10000 >= {_DECON_BP} * n_bench
+"""
+
+
 _SAMPLE_RATES = {"en": 2500, "de": 5000, "fr": 7500, "es": 1000}
 _SAMPLE_DEFAULT = 500  # zh and anything unlisted
 _SPLIT_WEIGHTS = [("train", 8000), ("val", 1000), ("test", 1000)]
@@ -2967,6 +3084,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # partitioning-invariant — the 100 TB-safe sampling shape)
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "decontamination": (q_decontamination, SQL_DECONTAMINATION),
     # training-data pipeline: similarity search
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
