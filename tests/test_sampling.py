@@ -148,3 +148,41 @@ def test_plan_has_no_exchange(spark):
         .toString()
     )
     assert "Exchange" not in plan2
+
+
+def test_mix_rates_binding_stratum_and_integer_exactness(spark):
+    from web_crawler_spark.operators.sampling import mix_rates_bp
+
+    # observed: a=600, b=300, c=100; target a 40% / b 30% / c 30%.
+    # c is the scarcest vs its target (10% observed vs 30% wanted) → kept
+    # whole; others down-sampled by exact cross-multiplied ratios.
+    rows = (
+        [(i, "a") for i in range(600)]
+        + [(i + 1000, "b") for i in range(300)]
+        + [(i + 2000, "c") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = mix_rates_bp(df, "lang", {"a": 4000, "b": 3000, "c": 3000})
+    # rate_s = 10000·t_s·n_c / (t_c·n_s): a → 10000·4000·100/(3000·600)
+    assert rates == {"a": 2222, "b": 3333, "c": 10000}
+
+    # resulting mix approaches the target proportions
+    from web_crawler_spark.operators.sampling import stratified_sample
+
+    kept = stratified_sample(df, "lang", rates, "doc_id").groupBy("lang").count()
+    got = {r.lang: r["count"] for r in kept.collect()}
+    total = sum(got.values())
+    assert abs(got["a"] / total - 0.4) < 0.08
+    assert abs(got["c"] / total - 0.3) < 0.08
+
+
+def test_mix_rates_unreachable_target_raises(spark):
+    import pytest
+
+    from web_crawler_spark.operators.sampling import mix_rates_bp
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, lang string")
+    with pytest.raises(ValueError, match="unreachable"):
+        mix_rates_bp(df, "lang", {"a": 5000, "zz": 5000})
+    # zero-target strata need no rows and get rate 0
+    assert mix_rates_bp(df, "lang", {"a": 10000, "zz": 0}) == {"a": 10000, "zz": 0}

@@ -105,6 +105,66 @@ def stratified_sample(
     return out
 
 
+def mix_rates_bp(
+    df: DataFrame,
+    stratum_col: str,
+    targets_bp: dict[str, int],
+    *,
+    denom: int = DEFAULT_DENOM,
+) -> dict[str, int]:
+    """Per-stratum keep-rates (basis points) that down-sample an observed
+    corpus toward target mix proportions — the Pile/Dolma-style domain
+    mixing step, down-sampling only (no row is ever duplicated).
+
+    The binding stratum is the one whose observed share falls shortest of
+    its target: it is kept whole (rate = denom) and every other stratum is
+    down-sampled relative to it:
+
+        rate_s = min(denom, floor(denom · (target_s / share_s)
+                                        / max_t(target_t / share_t)))
+
+    computed in exact integer arithmetic (cross-multiplied, no floats), so
+    the rates — and therefore every sampling decision downstream — replay
+    identically anywhere. The groupBy is the only job: O(strata) rows to
+    the driver, then the actual sampling is the zero-shuffle
+    ``stratified_sample`` filter.
+
+    Strata present in the data but absent from ``targets_bp`` get rate 0
+    (they are not part of the target mix). Raises if a targeted stratum
+    has no rows at all — the target mix is then unreachable, and silently
+    shipping a corpus without it would be worse than failing.
+    """
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(stratum_col).alias("s")).agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    missing = [s for s in targets_bp if targets_bp[s] > 0 and not counts.get(s)]
+    if missing:
+        raise ValueError(
+            f"target mix unreachable: strata {missing} have no rows in the corpus"
+        )
+    # binding stratum maximizes target_s/share_s ∝ t_s/n_s; exact integer
+    # compare via cross-multiplication (t_s·n_best > t_best·n_s)
+    best = None
+    for s in sorted(targets_bp):  # sorted: ties break the same everywhere
+        if targets_bp[s] <= 0:
+            continue
+        if best is None or targets_bp[s] * counts[best] > targets_bp[best] * counts[s]:
+            best = s
+    rates: dict[str, int] = {}
+    for s in targets_bp:
+        if targets_bp[s] <= 0:
+            rates[s] = 0
+            continue
+        # rate_s = denom · (t_s/n_s) / (t_b/n_b) = denom·t_s·n_b / (t_b·n_s)
+        num = denom * targets_bp[s] * counts[best]
+        den = targets_bp[best] * counts[s]
+        rates[s] = min(denom, num // den)
+    return rates
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,

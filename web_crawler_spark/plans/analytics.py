@@ -1055,6 +1055,53 @@ FROM b
 """
 
 
+_MIX_TARGETS = {"en": 4000, "de": 3000, "zh": 3000}  # basis points
+
+
+def q_corpus_mix(spark, sf_dir):
+    """Domain/language mixing: down-sample the observed corpus toward a
+    target language distribution (en 40% / de 30% / zh 30%). The rates are
+    derived from the observed stratum counts in exact integer arithmetic
+    (`mix_rates_bp`: binding stratum kept whole, others down-sampled by
+    cross-multiplied ratios — no floats anywhere), then applied with the
+    zero-shuffle deterministic sampler. Languages outside the target mix
+    (fr, es) get rate 0. The SQL oracle replays the ENTIRE computation,
+    argmax included."""
+    from ..operators.sampling import mix_rates_bp, stratified_sample
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    rates = mix_rates_bp(d, "lang", _MIX_TARGETS)
+    return stratified_sample(
+        d, "lang", rates, "doc_id", default_rate=0, bucket_out="bucket"
+    )
+
+
+def _mix_targets_values() -> str:
+    return ", ".join(f"('{s}', {r})" for s, r in sorted(_MIX_TARGETS.items()))
+
+
+SQL_CORPUS_MIX = f"""
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+tgt(lang, tbp) AS (VALUES {_mix_targets_values()}),
+j AS (SELECT tgt.lang, tgt.tbp, c.n FROM tgt JOIN c USING (lang)),
+best AS (
+  SELECT a.lang, a.tbp, a.n FROM j a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM j b
+    WHERE b.tbp * a.n > a.tbp * b.n
+       OR (b.tbp * a.n = a.tbp * b.n AND b.lang < a.lang))),
+rates AS (
+  SELECT j.lang,
+         LEAST(10000, (10000 * j.tbp * best.n) // (best.tbp * j.n)) AS rate
+  FROM j, best),
+b AS (
+  SELECT d.doc_id, d.lang, {_bucket_sql_expr()} AS bucket, r.rate
+  FROM documents d JOIN rates r USING (lang))
+SELECT doc_id, lang, CAST(bucket AS INTEGER) AS bucket
+FROM b WHERE bucket < rate
+"""
+
+
 def q_corpus_curation(spark, sf_dir):
     """The training-data pipeline end-to-end in one declarative plan:
     language-ID gate (en) → quality-score gate (≥ 0.5) → near-dup pruning
@@ -3086,6 +3133,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "decontamination": (q_decontamination, SQL_DECONTAMINATION),
+    "corpus_mix": (q_corpus_mix, SQL_CORPUS_MIX),
     # training-data pipeline: similarity search
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
