@@ -158,3 +158,28 @@ def test_word_bigrams_and_nonblank_lines(spark):
     assert got[3][0] == []
     assert got[4][0] == ["a b", "b a", "a b", "b a", "a b"]
     assert got[5][1] == ["x", "x", "y"]  # blanks and whitespace-only dropped
+
+
+def test_pii_redact_counts_and_sequencing(spark):
+    """Emails, IPv4s, phones redacted with typed tokens; counts are taken
+    on the text each pattern actually ran against (sequential passes)."""
+    from web_crawler_spark.functions.text import pii_redact
+
+    rows = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-1.example.org and 10.0.0.1 then +44 20 7946 0958 ok"),
+            (2, "no pii at all"),
+            (3, "two mails x@y.io z@w.co one ip 192.168.1.1"),
+            (4, "ip-like 999.999.999.999 still matches the regex shape"),
+        ],
+        "id long, text string",
+    ).select("id", pii_redact(F.col("text")).alias("r"))
+    got = {r.id: r.r for r in rows.collect()}
+    assert got[1].clean_text == "mail <EMAIL> and <IP> then <PHONE> ok"
+    assert (got[1].n_email, got[1].n_ip, got[1].n_phone) == (1, 1, 1)
+    assert got[2].clean_text == "no pii at all"
+    assert (got[2].n_email, got[2].n_ip, got[2].n_phone) == (0, 0, 0)
+    assert got[3].n_email == 2 and got[3].n_ip == 1
+    # deliberately shape-based (like most published scrubbers): octet
+    # ranges are not validated
+    assert got[4].n_ip == 1 and "<IP>" in got[4].clean_text

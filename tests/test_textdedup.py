@@ -316,3 +316,50 @@ def test_contamination_check_broadcasts_benchmark(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_line_dedupe_removes_cross_doc_boilerplate(spark):
+    """Lines repeated in >= min_docs DISTINCT documents vanish from every
+    document; unique lines survive in original order; counts are exact."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha one\ncookie banner\nbeta two"),
+            (2, "cookie banner\ngamma three"),
+            (3, "delta four\n  cookie banner  \ndelta four"),  # trim matches
+            (4, "all unique here\nnothing shared"),
+            (5, ""),  # empty doc: 1 blank line, kept (blank never boiler)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in TD.line_dedupe(docs, "doc_id", "text").collect()}
+    assert out[1].clean_text == "alpha one\nbeta two"
+    assert (out[1].n_kept, out[1].n_removed) == (2, 1)
+    assert out[2].clean_text == "gamma three"
+    # doc 3: trimmed form matches the boiler key; duplicate-within-doc lines
+    # are NOT boilerplate (distinct-doc count, not occurrence count)
+    assert out[3].clean_text == "delta four\ndelta four"
+    assert out[4].clean_text == "all unique here\nnothing shared"
+    assert out[4].n_removed == 0
+    assert out[5].clean_text == "" and out[5].n_kept == 1
+
+
+def test_line_dedupe_within_doc_repeats_not_boiler(spark):
+    """A line repeated many times inside ONE doc stays (countDistinct)."""
+    docs = spark.createDataFrame(
+        [(1, "spam\nspam\nspam\nham"), (2, "eggs\ntoast")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in TD.line_dedupe(docs, "doc_id", "text").collect()}
+    assert out[1].clean_text == "spam\nspam\nspam\nham"
+    assert out[2].n_removed == 0
+
+
+def test_line_dedupe_min_docs_threshold(spark):
+    docs = spark.createDataFrame(
+        [(1, "shared\na"), (2, "shared\nb"), (3, "shared\nc")],
+        "doc_id long, text string",
+    )
+    loose = {r.doc_id: r for r in TD.line_dedupe(docs, min_docs=4).collect()}
+    assert all(r.n_removed == 0 for r in loose.values())
+    tight = {r.doc_id: r for r in TD.line_dedupe(docs, min_docs=3).collect()}
+    assert all(r.clean_text in {"a", "b", "c"} for r in tight.values())

@@ -737,3 +737,71 @@ def contamination_check(
             F.col("n_bench").cast("long").alias("n_bench"),
         )
     )
+
+
+def line_dedupe(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Global line-level dedup (the C4 §2.1 / RefinedWeb line-wise filter):
+    a non-blank line whose trimmed form appears in >= ``min_docs`` DISTINCT
+    documents is boilerplate (navigation chrome, cookie banners, repeated
+    footers) and is removed from EVERY document; surviving lines are
+    reassembled in their original order.
+
+    This is the document-content counterpart of the reference's URL dedupe
+    (SURVEY §2.5 D1 — first-occurrence-wins over URLs): here the unit is
+    the line and the scope is the whole corpus, the step every large-scale
+    text pipeline runs between exact dedup and near-dup pruning.
+
+    Shape at 100 TB: two shuffles — a countDistinct groupBy on the trimmed
+    line to find boilerplate (by definition a small output: only lines
+    repeated across documents survive the HAVING, so the anti-join's build
+    side is compact and AQE broadcasts it), and one groupBy(doc) to
+    reassemble. Linear in total line count; no all-pairs stage. Document
+    reassembly is order-exact via posexplode + array_sort on (pos, line).
+
+    Output: (doc_id, clean_text, n_kept, n_removed) — counts exact ints so
+    the SQL oracle replays the decision with zero drift.
+    """
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    boiler = (
+        lines.filter(F.trim("line") != "")
+        .groupBy(F.trim("line").alias("k"))
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= int(min_docs))
+        .select("k")
+    )
+    kept = lines.join(boiler, F.trim(lines["line"]) == boiler["k"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    # Per-doc line totals come straight off the un-exploded text — a
+    # shuffle-free narrow projection (split always yields >= 1 element,
+    # exactly matching the posexplode row count), instead of a third
+    # groupBy over the exploded lines.
+    totals = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_total"),
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_total") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )

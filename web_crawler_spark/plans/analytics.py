@@ -982,6 +982,136 @@ WHERE n_hits * 10000 >= {_DECON_BP} * n_bench
 """
 
 
+_LINE_WORDS = 3  # words per derived line (3-word lines over the ~30-word
+# vocabulary give a natural mid-range cross-doc duplicate rate)
+_LINE_MIN_DOCS = 2
+
+
+def _wrapped_lines(text_col):
+    """Deterministically wrap single-line word-soup text into 3-word lines
+    — the multi-line document shape line_dedupe operates on. One codegen'd
+    regex pass (non-overlapping matches group words left-to-right in 3s),
+    mirrored verbatim by the SQL twin; RE2 and Java regex agree on this
+    shape."""
+    return F.regexp_replace(text_col, r"(\S+ \S+ \S+) ", "$1\n")
+
+
+def q_line_dedupe(spark, sf_dir):
+    """Global line-level dedup (C4 §2.1 / RefinedWeb line-wise filter):
+    wrap each document into 3-word lines (the small vocabulary makes lines
+    recur across documents, exactly like web boilerplate), then remove
+    every line whose trimmed form appears in ≥2 distinct documents and
+    reassemble the survivors in order. Two shuffles, no all-pairs stage;
+    the boilerplate set is small by construction so the anti-join
+    broadcasts. See operators/textdedup.py:line_dedupe."""
+    from ..operators.textdedup import line_dedupe
+
+    d = t(spark, sf_dir, "documents")
+    wrapped = d.select("doc_id", _wrapped_lines(F.col("text")).alias("text"))
+    return line_dedupe(wrapped, "doc_id", "text", min_docs=_LINE_MIN_DOCS)
+
+
+SQL_LINE_DEDUPE = rf"""
+WITH wrapped AS (
+  SELECT doc_id,
+         regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g') AS text
+  FROM documents),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM wrapped),
+l AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(a))) AS pos,
+         unnest(a) AS line
+  FROM ls),
+boiler AS (
+  SELECT trim(line) AS k FROM l WHERE trim(line) <> ''
+  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= {_LINE_MIN_DOCS}),
+kept AS (
+  SELECT * FROM l WHERE trim(line) NOT IN (SELECT k FROM boiler)),
+reb AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY 1),
+tot AS (SELECT doc_id, COUNT(*) AS n_total FROM l GROUP BY 1)
+SELECT tot.doc_id,
+       COALESCE(reb.clean_text, '') AS clean_text,
+       CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(tot.n_total - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_removed
+FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
+"""
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub (BigScience/ROOTS-style corpus hygiene): emails, IPv4s and
+    international phone numbers redacted with typed tokens + per-category
+    counts. The documents corpus is digit-free, so PII strings are planted
+    deterministically from doc_id (email on doc_id%3=0, IP on doc_id%2=0,
+    phone always) — the SQL twin plants the identical strings and replays
+    the identical sequential regex passes. Pure column expressions, zero
+    UDFs; a codegen'd linear scan at 100 TB."""
+    from ..functions.text import pii_redact
+
+    d = t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"), sid, F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".0."),
+                (F.col("doc_id") % 250).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(" call +66 2 555 01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    r = pii_redact(aug)
+    return d.select(
+        "doc_id",
+        r["clean_text"].alias("clean_text"),
+        r["n_email"].alias("n_email"),
+        r["n_ip"].alias("n_ip"),
+        r["n_phone"].alias("n_phone"),
+    )
+
+
+SQL_PII_REDACT = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                      || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+                 ELSE '' END
+         || ' call +66 2 555 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+         AS t0
+  FROM documents),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+         regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM aug),
+s2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+         regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+  FROM s1)
+SELECT doc_id,
+       regexp_replace(t2, '\+\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS clean_text,
+       n_email, n_ip,
+       CAST(len(regexp_extract_all(t2, '\+\d[\d\- ]{7,}\d')) AS BIGINT) AS n_phone
+FROM s2
+"""
+
+
 _SAMPLE_RATES = {"en": 2500, "de": 5000, "fr": 7500, "es": 1000}
 _SAMPLE_DEFAULT = 500  # zh and anything unlisted
 _SPLIT_WEIGHTS = [("train", 8000), ("val", 1000), ("test", 1000)]
@@ -3133,6 +3263,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "decontamination": (q_decontamination, SQL_DECONTAMINATION),
+    "line_dedupe": (q_line_dedupe, SQL_LINE_DEDUPE),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "corpus_mix": (q_corpus_mix, SQL_CORPUS_MIX),
     # training-data pipeline: similarity search
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
