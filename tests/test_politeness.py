@@ -276,3 +276,25 @@ def test_parse_robots_txt_matches_python_twin_on_random_bodies(spark):
     assert len(got) == 200
     for host, body in bodies:
         assert got[host] == py_twin(body), f"{host}: {body!r}"
+
+
+def test_extract_sitemaps(spark):
+    from web_crawler_spark.operators.politeness import extract_sitemaps
+
+    body_a = (
+        "User-agent: *\r\nDisallow: /x/\r\n"
+        "Sitemap: https://a.example/map.xml  # comment\r\n"
+        "sitemap: https://a.example/map.xml\r\n"  # dup + case → one row
+        "SiteMap: http://a.example/two.xml"
+    )
+    body_b = "Sitemap: ftp://bad/x.xml\nSitemap:\nDisallow: /"
+    df = spark.createDataFrame(
+        [("a.example", body_a), ("b.example", body_b), ("c.example", None)],
+        "host string, robots_txt string",
+    )
+    rows = {(r.host, r.sitemap_url): r.is_valid for r in extract_sitemaps(df).collect()}
+    assert rows == {
+        ("a.example", "https://a.example/map.xml"): True,
+        ("a.example", "http://a.example/two.xml"): True,
+        ("b.example", "ftp://bad/x.xml"): False,
+    }

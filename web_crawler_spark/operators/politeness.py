@@ -119,6 +119,46 @@ def parse_robots_txt(
     )
 
 
+def extract_sitemaps(
+    df: DataFrame, host_col: str = "host", body_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, robots_txt body) → (host, sitemap_url, is_valid): sitemap
+    discovery, the seed-expansion input for the frontier (a sitemap URL is
+    admitted like any discovered link, subject to the same dedupe/budget
+    chain).
+
+    ``Sitemap:`` directives are group-INDEPENDENT per RFC 9309 §2.3 /
+    sitemaps.org — unlike Disallow they apply regardless of surrounding
+    User-agent runs, so this is a plain line scan: posexplode → filter →
+    distinct, zero UDFs, zero windows. ``is_valid`` marks absolute
+    http(s) values (the protocol requires full URLs); invalid values are
+    kept as error-as-data rather than silently dropped. Comments stripped
+    and CRLF accepted exactly as in :func:`parse_robots_txt`.
+    """
+    ex = df.select(
+        F.col(host_col).alias("host"),
+        F.explode_outer(
+            F.split(F.coalesce(F.col(body_col), F.lit("")), r"\r?\n")
+        ).alias("raw"),
+    )
+    ln = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), "#.*$", ""), r"^\s+|\s+$", ""
+    )
+    val = F.regexp_replace(
+        F.regexp_extract(ln, r"^[^:]*:(.*)$", 1), r"^\s+|\s+$", ""
+    )
+    return (
+        ex.select("host", ln.alias("ln"), val.alias("sitemap_url"))
+        .filter(F.lower(F.col("ln")).startswith("sitemap:") & (F.col("sitemap_url") != ""))
+        .select(
+            "host",
+            "sitemap_url",
+            F.col("sitemap_url").rlike(r"^https?://").alias("is_valid"),
+        )
+        .distinct()
+    )
+
+
 def robots_filter(
     frontier: DataFrame, robots: DataFrame
 ) -> tuple[DataFrame, DataFrame]:

@@ -1112,6 +1112,134 @@ FROM s2
 """
 
 
+_PACK_BUDGET = 200  # tokens per packed sequence (docs are 10-99 ws-tokens
+# at every SF, so bins hold ~2-5 docs and the layout is non-trivial)
+_PACK_BUCKETS = 8
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (T5/GPT-style context filling): documents walked in
+    id order within hash buckets and packed greedy next-fit into
+    token-budget bins. One shuffle + an Arrow applyInPandas per bucket; the
+    per-bucket walk is the inherent serial section and n_buckets the
+    parallelism knob. Bucket expr is doc_id % N here so plain SQL replays
+    it (production default: pmod(xxhash64(id), N)). See
+    operators/packing.py:pack_sequences."""
+    from ..operators.packing import pack_sequences
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.ws_token_count(F.col("text")).alias("n_tokens"))
+    return pack_sequences(
+        toks,
+        budget=_PACK_BUDGET,
+        n_buckets=_PACK_BUCKETS,
+        bucket_expr=F.col("doc_id") % _PACK_BUCKETS,
+    )
+
+
+SQL_PACK_SEQUENCES = rf"""
+WITH RECURSIVE t AS (
+  SELECT doc_id % {_PACK_BUCKETS} AS bucket, doc_id,
+         {_WS_TOKENS_SQL} AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % {_PACK_BUCKETS}
+                            ORDER BY doc_id) AS rn
+  FROM documents),
+pack AS (
+  SELECT bucket, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS bin_seq, CAST(0 AS BIGINT) AS pos_in_bin,
+         n_tokens AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.bucket, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN p.fill + t.n_tokens > {_PACK_BUDGET}
+              THEN p.bin_seq + 1 ELSE p.bin_seq END,
+         CASE WHEN p.fill + t.n_tokens > {_PACK_BUDGET}
+              THEN CAST(0 AS BIGINT) ELSE p.pos_in_bin + 1 END,
+         CASE WHEN p.fill + t.n_tokens > {_PACK_BUDGET}
+              THEN t.n_tokens ELSE p.fill + t.n_tokens END
+  FROM pack p JOIN t ON t.bucket = p.bucket AND t.rn = p.rn + 1)
+SELECT bucket, doc_id, n_tokens, bin_seq, pos_in_bin,
+       n_tokens > {_PACK_BUDGET} AS oversized
+FROM pack
+"""
+
+
+def q_url_traps(spark, sf_dir):
+    """Crawler-trap detection (frontier hygiene at 10^10 URLs): synthesize
+    per-host URL populations from orders — hostkey%5==0 hosts are
+    query-string traps (5 paths, a sess param per order), %5==1 hosts are
+    path-loop traps (repeated /p/<k>/p/<k> segments), the rest clean — then
+    flag via the integer variant ratio + duplicate-segment signals. One
+    groupBy(host); everything else is codegen'd projections. See
+    operators/traps.py:detect_url_traps."""
+    from ..operators.traps import detect_url_traps
+
+    o = t(spark, sf_dir, "orders")
+    hostkey = F.col("o_custkey") % 40
+    host = F.concat(F.lit("h"), hostkey.cast("string"), F.lit(".shop.example"))
+    okey = F.col("o_orderkey").cast("string")
+    shape = (
+        F.when(
+            hostkey % 5 == 0,
+            F.concat(
+                F.lit("/cat/"), (F.col("o_orderkey") % 5).cast("string"),
+                F.lit("?sess="), okey,
+            ),
+        )
+        .when(
+            hostkey % 5 == 1,
+            F.concat(
+                F.lit("/p/"), (F.col("o_orderkey") % 50).cast("string"),
+                F.lit("/p/"), (F.col("o_orderkey") % 50).cast("string"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("/item/"), okey))
+    )
+    urls = o.select(F.concat(F.lit("https://"), host, shape).alias("url"))
+    return detect_url_traps(urls)
+
+
+SQL_URL_TRAPS = r"""
+WITH u AS (
+  SELECT 'https://h' || CAST(o_custkey % 40 AS VARCHAR) || '.shop.example'
+         || CASE
+              WHEN (o_custkey % 40) % 5 = 0
+                THEN '/cat/' || CAST(o_orderkey % 5 AS VARCHAR)
+                     || '?sess=' || CAST(o_orderkey AS VARCHAR)
+              WHEN (o_custkey % 40) % 5 = 1
+                THEN '/p/' || CAST(o_orderkey % 50 AS VARCHAR)
+                     || '/p/' || CAST(o_orderkey % 50 AS VARCHAR)
+              ELSE '/item/' || CAST(o_orderkey AS VARCHAR)
+            END AS url
+  FROM orders),
+shaped AS (
+  SELECT url,
+         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS host,
+         regexp_extract(regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+', ''),
+                        '^([^?#]*)', 1) AS path,
+         instr(regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+', ''), '?') > 0
+           AS has_params
+  FROM u),
+segd AS (
+  SELECT *,
+         list_filter(string_split(path, '/'), s -> s <> '') AS segs
+  FROM shaped),
+agg AS (
+  SELECT host,
+         CAST(COUNT(*) AS BIGINT) AS n_urls,
+         CAST(COUNT(DISTINCT path) AS BIGINT) AS n_paths,
+         CAST(SUM(CASE WHEN has_params THEN 1 ELSE 0 END) AS BIGINT) AS n_param_urls,
+         CAST(MAX(len(segs)) AS BIGINT) AS max_depth,
+         CAST(MAX(len(segs) - len(list_distinct(segs))) AS BIGINT) AS max_dup_segments
+  FROM segd GROUP BY host)
+SELECT host, n_urls, n_paths, n_param_urls, max_depth, max_dup_segments,
+       CAST((10000 * n_urls) // n_paths AS BIGINT) AS variant_bp,
+       n_urls >= 20 AND ((10000 * n_urls) // n_paths >= 30000
+                         OR max_dup_segments >= 2) AS is_trap
+FROM agg
+"""
+
+
 _SAMPLE_RATES = {"en": 2500, "de": 5000, "fr": 7500, "es": 1000}
 _SAMPLE_DEFAULT = 500  # zh and anything unlisted
 _SPLIT_WEIGHTS = [("train", 8000), ("val", 1000), ("test", 1000)]
@@ -1731,6 +1859,72 @@ FROM (SELECT DISTINCT host FROM bodies) b
 LEFT JOIN dis di USING (host)
 LEFT JOIN dl USING (host)
 """
+
+
+_SITEMAP_BODIES = [
+    "User-agent: *\nDisallow: /private/\n"
+    "Sitemap: https://cdn.example/map-a.xml\n"
+    "sitemap: https://cdn.example/map-b.xml.gz  # mirror",
+    "User-agent: bot\nDisallow: /x/\n\n"
+    "SITEMAP: https://other.example/s.xml\n"
+    "Sitemap: https://other.example/s.xml",  # duplicate directive → one row
+    "Sitemap: ftp://bad.example/not-http.xml\nSitemap:\nDisallow: /",
+    "",
+]
+
+
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap discovery from robots.txt bodies (RFC 9309 §2.3 /
+    sitemaps.org): group-independent ``Sitemap:`` line scan — posexplode →
+    filter → distinct, zero UDFs — with non-http(s) values kept as
+    error-as-data (is_valid=false). The frontier admits discovered sitemap
+    URLs like any other link. See operators/politeness.py:extract_sitemaps."""
+    from ..operators.politeness import extract_sitemaps
+
+    n = t(spark, sf_dir, "nation")
+    host = F.concat(F.lit("h"), F.col("n_nationkey").cast("string"), F.lit(".example.com"))
+    body = F.lit(_SITEMAP_BODIES[-1])
+    for i in range(len(_SITEMAP_BODIES) - 2, -1, -1):
+        body = F.when(
+            F.col("n_nationkey") % len(_SITEMAP_BODIES) == i, F.lit(_SITEMAP_BODIES[i])
+        ).otherwise(body)
+    return extract_sitemaps(n.select(host.alias("host"), body.alias("robots_txt")))
+
+
+def _sitemap_body_sql() -> str:
+    cases = []
+    for i, b in enumerate(_SITEMAP_BODIES):
+        lines = b.split("\n")
+        expr = " || chr(10) || ".join("'" + ln.replace("'", "''") + "'" for ln in lines)
+        cases.append(f"WHEN {i} THEN {expr}")
+    return (
+        "CASE n_nationkey % " + str(len(_SITEMAP_BODIES)) + " " + " ".join(cases) + " END"
+    )
+
+
+SQL_ROBOTS_SITEMAPS_TMPL = r"""
+WITH bodies AS (
+  SELECT 'h' || CAST(n_nationkey AS VARCHAR) || '.example.com' AS host,
+         {body_case} AS body
+  FROM nation),
+l AS (
+  SELECT host,
+         regexp_replace(regexp_replace(unnest(regexp_split_to_array(body, '\r?\n')),
+                                       '#.*$', ''),
+                        '^\s+|\s+$', '', 'g') AS ln
+  FROM bodies),
+v AS (
+  SELECT host, ln,
+         regexp_replace(regexp_extract(ln, '^[^:]*:(.*)$', 1),
+                        '^\s+|\s+$', '', 'g') AS sitemap_url
+  FROM l)
+SELECT DISTINCT host, sitemap_url,
+       regexp_matches(sitemap_url, '^https?://') AS is_valid
+FROM v
+WHERE lower(ln) LIKE 'sitemap:%' AND sitemap_url <> ''
+"""
+
+SQL_ROBOTS_SITEMAPS = SQL_ROBOTS_SITEMAPS_TMPL.format(body_case=_sitemap_body_sql())
 
 
 def q_scoped_extract(spark, sf_dir):
@@ -3265,6 +3459,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "decontamination": (q_decontamination, SQL_DECONTAMINATION),
     "line_dedupe": (q_line_dedupe, SQL_LINE_DEDUPE),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "url_traps": (q_url_traps, SQL_URL_TRAPS),
+    "robots_sitemaps": (q_robots_sitemaps, SQL_ROBOTS_SITEMAPS),
     "corpus_mix": (q_corpus_mix, SQL_CORPUS_MIX),
     # training-data pipeline: similarity search
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
