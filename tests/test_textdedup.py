@@ -363,3 +363,64 @@ def test_line_dedupe_min_docs_threshold(spark):
     assert all(r.n_removed == 0 for r in loose.values())
     tight = {r.doc_id: r for r in TD.line_dedupe(docs, min_docs=3).collect()}
     assert all(r.clean_text in {"a", "b", "c"} for r in tight.values())
+
+
+def test_exact_substring_spans_basic(spark):
+    """A verbatim 10-token passage shared by two docs yields one maximal
+    span per doc covering exactly the passage; unique text yields none."""
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, "unique head one two three " + passage),
+            (2, passage + " unique tail four five"),
+            (3, "totally different words everywhere nothing shared at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in TD.exact_substring_spans(docs, k=8).collect()}
+    # doc 1: passage tokens occupy positions 6..15 -> windows 6,7,8 (k=8)
+    assert (out[1].start_tok, out[1].end_tok, out[1].n_windows) == (6, 15, 3)
+    # doc 2: passage at positions 1..10 -> windows 1,2,3
+    assert (out[2].start_tok, out[2].end_tok, out[2].n_windows) == (1, 10, 3)
+    assert 3 not in out
+
+
+def test_exact_substring_spans_merges_islands(spark):
+    """Two disjoint shared passages in one doc come back as two spans."""
+    p1 = "one two three four five six seven eight"
+    p2 = "red orange yellow green blue indigo violet pink"
+    docs = spark.createDataFrame(
+        [
+            (1, p1 + " xx yy zz " + p2),
+            (2, p1),
+            (3, p2),
+        ],
+        "doc_id long, text string",
+    )
+    spans = sorted(
+        (r.start_tok, r.end_tok)
+        for r in TD.exact_substring_spans(docs, k=8).collect()
+        if r.doc_id == 1
+    )
+    assert spans == [(1, 8), (12, 19)]
+
+
+def test_exact_substring_spans_within_doc_repeat_not_flagged(spark):
+    """min_docs counts DISTINCT documents: a phrase repeated twice inside
+    one doc is not an exact-substring duplicate."""
+    p = "aa bb cc dd ee ff gg hh"
+    docs = spark.createDataFrame(
+        [(1, p + " and then " + p), (2, "nothing in common here at all ok")],
+        "doc_id long, text string",
+    )
+    assert TD.exact_substring_spans(docs, k=8).count() == 0
+
+
+def test_exact_substring_spans_short_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "too short"), (3, "")],
+        "doc_id long, text string",
+    )
+    # < k tokens -> no windows -> no spans (even for verbatim dupes;
+    # exact_dupes covers whole-doc duplication)
+    assert TD.exact_substring_spans(docs, k=8).count() == 0

@@ -69,3 +69,92 @@ def test_thresholds_are_parameters(spark):
     assert not strict[0].is_trap  # 150000 < 200000
     loose = detect_url_traps(_urls(spark, urls), min_urls=31).collect()
     assert not loose[0].is_trap  # n_urls gate
+
+
+def test_trap_quarantine_in_crawl_round(spark, tmp_path_factory):
+    """trap_detection=True quarantines a host whose discovered URL
+    population trips the variant-ratio signal: its candidates are logged
+    skipped (trap_error/TRAP_HOST), settled (never retried), and the crawl
+    still drains; clean hosts crawl unaffected; the flag ratchets into
+    trap_hosts_t and survives resume."""
+    import pandas as pd
+
+    from web_crawler_spark.plans.round import CrawlConfig, CrawlRun
+    from web_crawler_spark.sources.fixtures import generate_site, load_fixture
+
+    d = str(tmp_path_factory.mktemp("trap-site"))
+    generate_site(d, n_pages=40, n_hosts=4, n_seeds=3, neardup_rate=0.0)
+    seeds = pd.read_csv(f"{d}/seeds.csv")
+    links = load_fixture(spark, d, "links")
+    # every seed page links to 30 session-variant URLs of ONE path on a
+    # dedicated host (some seeds are robots-blocked — e.g. /private/ —
+    # so no single seed is guaranteed to fetch): 30 urls / 1 path =
+    # 300000 bp >= 30000 -> trap
+    trap_rows = spark.createDataFrame(
+        [
+            (str(u), f"https://sess.trap.example/cat?sess={i}",
+             1000 + i, "", "", [], False)
+            for u in seeds.url
+            for i in range(30)
+        ],
+        links.schema,
+    )
+    cfg = CrawlConfig(max_rounds=16, trap_detection=True)
+    run_dir = str(tmp_path_factory.mktemp("trap-run"))
+    run = CrawlRun(
+        spark,
+        run_dir,
+        urls=load_fixture(spark, d, "urls"),
+        links=links.unionByName(trap_rows),
+        pages=load_fixture(spark, d, "pages"),
+        robots=load_fixture(spark, d, "robots"),
+        config=cfg,
+    )
+    seeds_df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(seeds.url)], ["row_index", "url"]
+    )
+    run.start(seeds_df)
+    metrics = run.run()
+
+    log = run.fetch_log_t.read(spark).collect()
+    trap_log = [r for r in log if r.host == "sess.trap.example"]
+    assert len(trap_log) == 30  # every candidate logged exactly once
+    assert all(
+        (r.status, r.error_type, r.error_code)
+        == ("skipped", "trap_error", "TRAP_HOST")
+        for r in trap_log
+    )
+    # quarantined rows are settled: they sit in the seen set, never retried
+    seen_hosts = {
+        r.url.split("/")[2] for r in run.seen_t.read(spark).collect()
+    }
+    assert "sess.trap.example" in seen_hosts
+    # the flag is recorded with its evidence
+    traps = run.trap_hosts_t.read(spark).collect()
+    assert [t.host for t in traps] == ["sess.trap.example"]
+    assert traps[0].n_urls == 30 and traps[0].n_paths == 1
+    assert traps[0].variant_bp == 300000
+    # the round that saw the explosion reports the quarantine size
+    assert any(m.get("rows_trapped", 0) == 30 for m in metrics)
+    # clean hosts still crawl: successes exist and none are from the trap
+    ok_hosts = {r.host for r in log if r.status == "success"}
+    assert ok_hosts and "sess.trap.example" not in ok_hosts
+    # the crawl drained (no livelock from re-discovered trap URLs)
+    assert metrics[-1]["rows_in"] == 0
+
+    # resume on a fresh CrawlRun over the same run_dir keeps the ratchet
+    run2 = CrawlRun(
+        spark,
+        run_dir,
+        urls=load_fixture(spark, d, "urls"),
+        links=links.unionByName(trap_rows),
+        pages=load_fixture(spark, d, "pages"),
+        robots=load_fixture(spark, d, "robots"),
+        config=cfg,
+    )
+    run2.resume()
+    assert [t.host for t in run2.trap_hosts_t.read(spark).collect()] == [
+        "sess.trap.example"
+    ]
+    run.close()
+    run2.close()

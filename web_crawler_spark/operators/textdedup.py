@@ -805,3 +805,80 @@ def line_dedupe(
         .cast("long")
         .alias("n_removed"),
     )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", §3.1 ExactSubstr): find
+    every maximal run of whitespace tokens, at least ``k`` long, that
+    appears verbatim in >= ``min_docs`` DISTINCT documents, and report it
+    per document as a token span to cut.
+
+    The paper builds a suffix array over the whole corpus; the
+    shuffle-native equivalent is the k-token sliding-window inverted
+    index: a substring of length >= k duplicates across documents iff
+    every one of its k-token windows does, so duplicated windows are
+    found with ONE groupBy over window keys and maximal spans are
+    reassembled per document by merging adjacent duplicated windows
+    (islands-and-gaps on the window start positions).
+
+    Shape at 100 TB: explode to ~tokens-per-doc windows per document
+    (linear), one groupBy on the window key (the only corpus-wide
+    shuffle), a semi-join back, and a per-doc window (partitioned by
+    doc — bounded by document length, no skew beyond the longest doc).
+    Window keys are ``md5_long`` of the space-joined window so the
+    DuckDB oracle replays them bit-for-bit (production would swap in
+    xxhash64 — same plan, cheaper hash; a 60-bit key space needs ~2^30
+    windows for a birthday collision, disclosed here).
+
+    Output: (doc_id, start_tok, end_tok, n_windows) — 1-based inclusive
+    token positions of each maximal duplicated span.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # window starts 1..n-k+1 (sequence counts DOWN when stop < start —
+    # guard exactly like char_shingles)
+    win = F.when(
+        (F.length(F.trim(F.col(text_col))) > 0) & (n >= k),
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: md5_long(
+                F.array_join(F.slice(toks, i, k), " ")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    wins = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(win).alias("pos0", "whash"),
+    ).select(
+        "doc_id",
+        # posexplode is 0-based; spans are reported in 1-based token
+        # positions (start_tok of the first window == token 1)
+        (F.col("pos0") + 1).alias("pos"),
+        "whash",
+    )
+    dup_keys = (
+        wins.groupBy("whash")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= int(min_docs))
+        .select("whash")
+    )
+    dup = wins.join(dup_keys, "whash", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = dup.withColumn(
+        "island", F.col("pos") - F.row_number().over(w)
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("long").alias("start_tok"),
+        (F.max("pos") + k - 1).cast("long").alias("end_tok"),
+        F.count("*").cast("long").alias("n_windows"),
+    ).drop("island")

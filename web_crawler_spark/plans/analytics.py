@@ -1164,6 +1164,66 @@ FROM pack
 """
 
 
+_ES_K = 8
+_ES_P1 = "the quick brown fox jumps over the lazy dog near the river bank"
+_ES_P2 = "all work and no play makes a dull day for everyone involved here"
+
+
+def q_exact_substring(spark, sf_dir):
+    """Exact-substring duplicate spans (Lee et al. 2022 ExactSubstr, the
+    k-token sliding-window inverted-index formulation): the word-soup
+    corpus shares no verbatim 8-grams, so passages are planted
+    deterministically (P1 on doc_id%7==0, P2 on doc_id%11==0 — docs
+    hitting both carry two disjoint spans) and the SQL twin plants the
+    identical strings. One groupBy on the window key + an islands-and-gaps
+    merge per doc. See operators/textdedup.py:exact_substring_spans."""
+    d = t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" " + _ES_P1)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" " + _ES_P2)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return TD.exact_substring_spans(aug, "doc_id", "text", k=_ES_K)
+
+
+SQL_EXACT_SUBSTRING = rf"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0 THEN ' {_ES_P1}' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' {_ES_P2}' ELSE '' END AS text
+  FROM documents),
+tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM aug WHERE length(trim(text)) > 0),
+w AS (
+  SELECT doc_id, tk, unnest(generate_series(1, len(tk) - {_ES_K} + 1)) AS pos
+  FROM tok WHERE len(tk) >= {_ES_K}),
+wh AS (
+  SELECT doc_id, pos,
+         CAST(('0x' || substr(md5(array_to_string(
+           array_slice(tk, pos, pos + {_ES_K} - 1), ' ')), 1, 15)) AS BIGINT)
+           AS whash
+  FROM w),
+dup AS (
+  SELECT whash FROM wh GROUP BY whash HAVING COUNT(DISTINCT doc_id) >= 2),
+dw AS (
+  SELECT doc_id, pos FROM wh WHERE whash IN (SELECT whash FROM dup)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM dw)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS start_tok,
+       CAST(MAX(pos) + {_ES_K} - 1 AS BIGINT) AS end_tok,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, island
+"""
+
+
 def q_url_traps(spark, sf_dir):
     """Crawler-trap detection (frontier hygiene at 10^10 URLs): synthesize
     per-host URL populations from orders — hostkey%5==0 hosts are
@@ -3461,6 +3521,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "url_traps": (q_url_traps, SQL_URL_TRAPS),
+    "exact_substring": (q_exact_substring, SQL_EXACT_SUBSTRING),
     "robots_sitemaps": (q_robots_sitemaps, SQL_ROBOTS_SITEMAPS),
     "corpus_mix": (q_corpus_mix, SQL_CORPUS_MIX),
     # training-data pipeline: similarity search

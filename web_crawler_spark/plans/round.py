@@ -45,7 +45,15 @@ from ..operators.membership import (
     load_tiers,
 )
 from ..operators.politeness import assign_fetch_seq, robots_filter, select_per_host
-from ..schemas import FETCH_LOG, FRONTIER, LINEAGE, METRICS, PHASH_SEEN, SEEN
+from ..schemas import (
+    FETCH_LOG,
+    FRONTIER,
+    LINEAGE,
+    METRICS,
+    PHASH_SEEN,
+    SEEN,
+    TRAP_HOSTS,
+)
 from ..session import release_frame as _release
 from ..sources.lake import SnapshotTable
 
@@ -113,6 +121,14 @@ class CrawlConfig:
     # (the 10^10 design point); byte-identical results, pinned by tests.
     tier_kind: str | None = None
     lineage_partitions: int = 16  # pkey strata for the per-partition lineage
+    # frontier hygiene: quarantine hosts whose frontier URL population
+    # trips the trap signals (operators/traps.py). Flagged hosts ratchet
+    # into the trap_hosts table; their candidates are logged as skipped
+    # (trap_error/TRAP_HOST) and settled, never fetched.
+    trap_detection: bool = False
+    trap_variant_ratio_bp: int = 30000
+    trap_dup_segments: int = 2
+    trap_min_urls: int = 20
 
 
 class CrawlRun:
@@ -156,6 +172,7 @@ class CrawlRun:
         self.metrics_t = SnapshotTable(os.path.join(run_dir, "metrics"))
         self.lineage_t = SnapshotTable(os.path.join(run_dir, "lineage"))
         self.phash_seen_t = SnapshotTable(os.path.join(run_dir, "phash_seen"))
+        self.trap_hosts_t = SnapshotTable(os.path.join(run_dir, "trap_hosts"))
         self.round = 0
         self.tiers: SeenTiers | DistributedSeenTiers | TableSeenTiers | None = None
         self._rank_df: DataFrame | None = None
@@ -216,6 +233,7 @@ class CrawlRun:
         self.metrics_t.overwrite_local([], METRICS)
         self.lineage_t.overwrite_local([], LINEAGE)
         self.phash_seen_t.overwrite_local([], PHASH_SEEN)
+        self.trap_hosts_t.overwrite_local([], TRAP_HOSTS)
         if self.config.use_bloom:
             kind = self.config.tier_kind or (
                 "driver" if self.config.driver_hot_tier else "distributed"
@@ -522,6 +540,57 @@ class CrawlRun:
             }
         else:
             unseen = anti_join_seen(best, seen_df)
+
+        # ---- frontier hygiene: trap-host quarantine (operators/traps.py).
+        # Signals are evaluated over the WHOLE persisted frontier (the
+        # strongest per-round evidence that exists without extra state);
+        # flagged hosts ratchet into trap_hosts_t because evidence shrinks
+        # once a quarantine empties the host's frontier mass — re-deriving
+        # the flag each round would let trap hosts oscillate back in.
+        trapped = None
+        if cfg.trap_detection:
+            from ..operators.traps import detect_url_traps
+
+            if self.trap_hosts_t.current_snapshot_id() is None:
+                # trap detection enabled on a run_dir from before the
+                # hygiene feature: initialize the quarantine table lazily
+                self.trap_hosts_t.overwrite_local([], TRAP_HOSTS)
+            known = self.trap_hosts_t.read(self.spark, schema=TRAP_HOSTS)
+            signals = detect_url_traps(
+                frontier,
+                variant_ratio_bp=cfg.trap_variant_ratio_bp,
+                dup_segment_threshold=cfg.trap_dup_segments,
+                min_urls=cfg.trap_min_urls,
+            )
+            newly = (
+                signals.filter(F.col("is_trap"))
+                .join(known.select("host"), "host", "left_anti")
+                .select(
+                    "host",
+                    F.lit(rnd).cast("int").alias("flagged_round"),
+                    "n_urls",
+                    "n_paths",
+                    "max_dup_segments",
+                    "variant_bp",
+                )
+            )
+            # newly flagged hosts are rare and bounded by host cardinality:
+            # collect (sorted — byte-identical commits across parallelism)
+            # and commit driver-local ONLY when non-empty, so quiet rounds
+            # add neither a Spark write job nor an empty commit
+            new_rows = sorted(
+                (r.asDict() for r in newly.collect()), key=lambda r: r["host"]
+            )
+            if new_rows:
+                self.trap_hosts_t.append_local(new_rows, TRAP_HOSTS)
+            all_traps = self.trap_hosts_t.read(
+                self.spark, schema=TRAP_HOSTS
+            ).select("host")
+            # host cardinality is bounded — both joins broadcast
+            trapped = unseen.join(
+                F.broadcast(all_traps), "host", "left_semi"
+            ).persist()
+            unseen = unseen.join(F.broadcast(all_traps), "host", "left_anti")
         allowed, blocked = robots_filter(unseen, self.robots)
         allowed = allowed.persist()
         blocked = blocked.persist()
@@ -572,7 +641,29 @@ class CrawlRun:
             F.lit(None).cast("int").alias("char_count"),
             F.lit(None).cast("int").alias("payload_len"),
         )
-        self.fetch_log_t.append(log_rows.unionByName(blocked_log))
+        all_log = log_rows.unionByName(blocked_log)
+        if trapped is not None:
+            trapped_log = trapped.select(
+                F.lit(rnd).alias("round"),
+                F.lit(0).cast("long").alias("fetch_seq"),
+                "url",
+                "url_hash",
+                "host",
+                F.lit("skipped").alias("status"),
+                F.lit("trap_error").alias("error_type"),
+                F.lit("TRAP_HOST").alias("error_code"),
+                F.lit(False).alias("retry_possible"),
+                "attempts",
+                F.lit(None).cast("string").alias("image_id"),
+                F.lit(None).cast("double").alias("psnr_db"),
+                F.lit(None).cast("boolean").alias("caption_ok"),
+                F.lit(None).cast("boolean").alias("phash_dup"),
+                F.lit(None).cast("int").alias("word_count"),
+                F.lit(None).cast("int").alias("char_count"),
+                F.lit(None).cast("int").alias("payload_len"),
+            )
+            all_log = all_log.unionByName(trapped_log)
+        self.fetch_log_t.append(all_log)
 
         # ---- settle / retry split (E2: fetcher.py:73-93, ≤3 attempts)
         retryable = (
@@ -585,6 +676,10 @@ class CrawlRun:
             "url_hash", "url", F.lit(rnd).alias("settled_round")
         )
         all_settled = settled.unionByName(blocked_settled)
+        if trapped is not None:
+            all_settled = all_settled.unionByName(
+                trapped.select("url_hash", "url", F.lit(rnd).alias("settled_round"))
+            )
         self.seen_t.append(all_settled)
         if self.tiers is not None:
             if self.tiers.kind != "driver":
@@ -694,6 +789,8 @@ class CrawlRun:
             _tagged("rows_retried", fetched, retryable),
             _tagged("rows_discovered", discovered),
         ] + [_tagged(name, df_) for name, df_ in tier_frames.items()]
+        if trapped is not None:
+            stats_src.append(_tagged("rows_trapped", trapped))
         stats = stats_src[0]
         for s in stats_src[1:]:
             stats = stats.unionByName(s)
@@ -718,6 +815,10 @@ class CrawlRun:
         }
         counts["rows_deduped"] = counts["rows_in"] - got["__best"]
         tier_counts = {k: got[k] for k in tier_frames}
+        if trapped is not None:
+            # METRICS schema (oracle-checked) is unchanged; the trapped
+            # count rides in the returned dict like the tier counters
+            tier_counts["rows_trapped"] = got["rows_trapped"]
 
         # metrics + lineage are a handful of driver-resident rows — commit
         # them via the driver-local parquet path (zero Spark write jobs)
@@ -767,6 +868,8 @@ class CrawlRun:
             _release(df_)
         if probed is not None:
             _release(probed)
+        if trapped is not None:
+            _release(trapped)
         self.round = rnd
         self._checkpoint(extra=checkpoint_extra)
         return {"round": rnd, **counts, **tier_counts}
@@ -801,6 +904,10 @@ class CrawlRun:
         ("metrics_t", "metrics_sid"),
         ("lineage_t", "lineage_sid"),
         ("phash_seen_t", "phash_seen_sid"),
+        # trap_hosts_sid is absent from pre-hygiene checkpoints; an
+        # uninitialized table's current_snapshot_id() is None, so old
+        # run_dirs compare clean and resume untouched
+        ("trap_hosts_t", "trap_hosts_sid"),
     ]
 
     def checkpoint_state(self) -> dict:
@@ -841,6 +948,7 @@ class CrawlRun:
             "metrics_sid": self.metrics_t.current_snapshot_id(),
             "lineage_sid": self.lineage_t.current_snapshot_id(),
             "phash_seen_sid": self.phash_seen_t.current_snapshot_id(),
+            "trap_hosts_sid": self.trap_hosts_t.current_snapshot_id(),
             "tiers_file": None,
         }
         if self.tiers is not None:
@@ -901,7 +1009,13 @@ class CrawlRun:
             json.dump(state, f)
         os.replace(tmp, os.path.join(self.run_dir, "checkpoint.json"))
         stats: dict[str, int] = {}
-        for name, table in compactable + [("seen", self.seen_t)]:
+        expirable = compactable + [("seen", self.seen_t)]
+        if self.trap_hosts_t.current_snapshot_id() is not None:
+            # never compacted (driver-local commits only on flagging
+            # rounds — already one small file each); absent on pre-hygiene
+            # run_dirs, hence the guard
+            expirable.append(("trap_hosts", self.trap_hosts_t))
+        for name, table in expirable:
             stats[name] = len(table.expire_snapshots(keep_last=keep_last))
         # the table tier's blob table accrues one snapshot per flush; expire
         # it with the rest (never compacted — each overwrite is already a

@@ -164,6 +164,24 @@ SEEN = StructType(
 PHASH_SEEN = StructType([StructField("phash", LongType(), False)])
 
 # ---------------------------------------------------------------------------
+# trap_hosts — cumulative quarantine list (operators/traps.py signals over
+# the round's frontier). Append-only ratchet: once flagged, a host stays
+# quarantined for the rest of the run (per-round evidence SHRINKS after a
+# quarantine empties the host's frontier mass, so re-deriving the flag each
+# round would oscillate). Bounded by host cardinality — broadcast-joinable.
+# ---------------------------------------------------------------------------
+TRAP_HOSTS = StructType(
+    [
+        StructField("host", StringType(), False),
+        StructField("flagged_round", IntegerType(), False),
+        StructField("n_urls", LongType(), False),
+        StructField("n_paths", LongType(), False),
+        StructField("max_dup_segments", LongType(), False),
+        StructField("variant_bp", LongType(), False),
+    ]
+)
+
+# ---------------------------------------------------------------------------
 # lineage — per-round, per-hash-partition counters (north rule resume gate):
 # pkey = pmod(url_hash, P) stratifies every counter so an auditor can prove
 # which hash ranges progressed in each round.
