@@ -843,28 +843,34 @@ def exact_substring_spans(
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.size(toks)
-    # window starts 1..n-k+1 (sequence counts DOWN when stop < start —
-    # guard exactly like char_shingles)
-    win = F.when(
-        (F.length(F.trim(F.col(text_col))) > 0) & (n >= k),
-        F.transform(
-            F.sequence(F.lit(1), n - k + 1),
-            lambda i: md5_long(
-                F.array_join(F.slice(toks, i, k), " ")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    wins = df.select(
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) > 0,
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+    ).otherwise(F.array().cast("array<string>"))
+    # tokenize ONCE via posexplode, then assemble each k-token window with
+    # a rows-between frame. The tempting transform(sequence, i ->
+    # slice(split(...), i, k)) form is a project-collapse trap: Catalyst
+    # inlines the split into the lambda and re-runs the regex split once
+    # PER WINDOW (~tokens× blowup — measured 7.2s -> 2.5s at sf0.1).
+    # Cost here: one (doc_id, pos) sort-shuffle, linear in token count.
+    tok = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(win).alias("pos0", "whash"),
-    ).select(
-        "doc_id",
-        # posexplode is 0-based; spans are reported in 1-based token
-        # positions (start_tok of the first window == token 1)
-        (F.col("pos0") + 1).alias("pos"),
-        "whash",
+        F.posexplode(toks).alias("pos0", "w"),
+    )
+    frame = (
+        Window.partitionBy("doc_id").orderBy("pos0").rowsBetween(0, k - 1)
+    )
+    warr = F.collect_list("w").over(frame)
+    wins = (
+        tok.select(
+            "doc_id",
+            # posexplode is 0-based; spans are reported in 1-based token
+            # positions (start_tok of the first window == token 1)
+            (F.col("pos0") + 1).alias("pos"),
+            warr.alias("warr"),
+        )
+        .filter(F.size("warr") == k)  # frames short of k near the doc end
+        .select("doc_id", "pos", md5_long(F.array_join("warr", " ")).alias("whash"))
     )
     dup_keys = (
         wins.groupBy("whash")
