@@ -186,3 +186,45 @@ def test_mix_rates_unreachable_target_raises(spark):
         mix_rates_bp(df, "lang", {"a": 5000, "zz": 5000})
     # zero-target strata need no rows and get rate 0
     assert mix_rates_bp(df, "lang", {"a": 10000, "zz": 0}) == {"a": 10000, "zz": 0}
+
+
+def test_importance_scores_orders_target_like_docs_first(spark):
+    """Docs made of target-side words must outscore docs of non-target
+    words; scores are exact ints; wordless docs score 0 and are dropped."""
+    from web_crawler_spark.operators.sampling import importance_scores
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "aurora aurora borealis shimmer"),   # target-like
+            (2, "zyx qqw vvb nnm zyx qqw"),          # corpus-only words
+            (3, "aurora zyx"),                        # mixed
+            (4, "12345 !!!"),                         # no [a-z]+ words
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(10, " ".join(["aurora borealis shimmer"] * 4))],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in importance_scores(corpus, target).collect()}
+    # per-word mean: doc1 ~ target ratio >> doc2 (absent from target)
+    assert out[1].score // out[1].n_words > out[2].score // out[2].n_words
+    assert out[1].keep and not out[2].keep
+    assert out[3].n_words == 2
+    assert out[4] .score == 0 and out[4].n_words == 0 and not out[4].keep
+    # integer exactness: rerun must produce identical scores
+    out2 = {r.doc_id: r.score for r in importance_scores(corpus, target).collect()}
+    assert out2 == {k: v.score for k, v in out.items()}
+
+
+def test_importance_scores_smoothing_handles_empty_target(spark):
+    from web_crawler_spark.operators.sampling import importance_scores
+
+    corpus = spark.createDataFrame(
+        [(1, "some words here")], "doc_id long, text string"
+    )
+    target = corpus.filter("doc_id < 0")  # empty
+    row = importance_scores(corpus, target).collect()[0]
+    # all-smoothing ratios: finite, positive, no keep (mean ratio < 1
+    # cannot hold -- with T=0 every ratio is scale*(C+B)/(c_b+1)/B-ish)
+    assert row.score > 0

@@ -39,6 +39,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import text as T
+from ..functions.text import md5_long
+
 MIX_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime, MINSTD modulus)
 MIX_A = 48_271  # MINSTD multiplier
 DEFAULT_DENOM = 10_000  # rates in basis points
@@ -200,3 +203,97 @@ def hash_split(
     # the last range's condition is bucket < denom == always true, so the
     # when-chain is exhaustive; no otherwise(NULL) row can exist
     return df.withColumn(split_out, expr)
+
+
+def importance_scores(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_buckets: int = 256,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Data-selection importance scores (the DSIR recipe — Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling" — with
+    hashed unigram features), as an INTEGER-EXACT variant: per hashed
+    word bucket the add-one-smoothed target/corpus frequency ratio in
+    parts-per-``scale``,
+
+        r_b = (scale · (T_b + 1) · (C + B)) // ((C_b + 1) · (T + B)),
+
+    and per document the sum of its words' bucket ratios. The published
+    method sums log-ratios; summing the ratios themselves keeps every
+    value an exact integer (no engine-dependent ``ln`` ULPs), preserves
+    the ordering signal the resampling needs, and lets plain SQL replay
+    the whole computation bit-for-bit. ``keep`` marks documents whose
+    mean ratio is at least 1 (score ≥ scale · n_words) — "looks more like
+    the target than like the corpus".
+
+    Shape at 100 TB: two explode+groupBy word-count passes (linear, one
+    shuffle each), a B-row ratio table built with broadcast single-row
+    totals, a broadcast join of that table onto the corpus words, and one
+    groupBy(doc). B bounds every driver/broadcast structure.
+
+    int64 headroom: scale · (T_b+1) · (C+B) must stay under 2^63 — with
+    scale 10^6 that allows T_b · C up to ~9·10^6 · 10^9; shrink ``scale``
+    or bucket counts (cap T_b) beyond that.
+    """
+    spark = corpus.sparkSession
+    B = int(n_buckets)
+
+    def words_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(T.words(F.col(text_col))).alias("w"),
+        ).select("doc_id", (md5_long(F.col("w")) % B).alias("b"))
+
+    all_b = spark.range(B).select(F.col("id").cast("long").alias("b"))
+    tw = words_of(target)
+    cw = words_of(corpus)
+    tc = tw.groupBy("b").agg(F.count("*").alias("t_b"))
+    cc = cw.groupBy("b").agg(F.count("*").alias("c_b"))
+    counts = (
+        all_b.join(tc, "b", "left")
+        .join(cc, "b", "left")
+        .select(
+            "b",
+            F.coalesce("t_b", F.lit(0)).alias("t_b"),
+            F.coalesce("c_b", F.lit(0)).alias("c_b"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("t_b").alias("t_tot"), F.sum("c_b").alias("c_tot")
+    )
+    # integer floor division via `div` — Spark's `/` on longs yields double
+    ratios = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.expr(
+            f"(CAST({int(scale)} AS BIGINT) * (t_b + 1) * (c_tot + {B})) "
+            f"div ((c_b + 1) * (t_tot + {B}))"
+        ).alias("r_b"),
+    )
+    scored = (
+        cw.join(F.broadcast(ratios), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("r_b").cast("long").alias("score"),
+            F.count("*").cast("long").alias("n_words"),
+        )
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("score", F.lit(0)).cast("long").alias("score"),
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            (
+                (F.coalesce("n_words", F.lit(0)) > 0)
+                & (
+                    F.coalesce("score", F.lit(0))
+                    >= F.lit(int(scale)) * F.coalesce("n_words", F.lit(0))
+                )
+            ).alias("keep"),
+        )
+    )

@@ -1300,6 +1300,66 @@ FROM agg
 """
 
 
+_DSIR_B = 256
+_DSIR_SCALE = 10**6
+
+
+def q_importance_scores(spark, sf_dir):
+    """DSIR-style data selection (Xie et al. 2023) with hashed unigram
+    features, integer-exact: target = the English slice of the corpus,
+    per-bucket smoothed frequency ratios in parts-per-million, per-doc
+    score = sum of its words' bucket ratios, keep = mean ratio >= 1. Two
+    word-count passes + a broadcast 256-row ratio table + one groupBy(doc).
+    See operators/sampling.py:importance_scores."""
+    from ..operators.sampling import importance_scores
+
+    d = t(spark, sf_dir, "documents")
+    return importance_scores(
+        d, d.filter(F.col("lang") == "en"), n_buckets=_DSIR_B, scale=_DSIR_SCALE
+    )
+
+
+SQL_IMPORTANCE_SCORES = rf"""
+WITH cwx AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents),
+cw AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % {_DSIR_B} AS b
+  FROM cwx),
+twx AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents WHERE lang = 'en'),
+tw AS (
+  SELECT CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % {_DSIR_B} AS b
+  FROM twx),
+allb AS (SELECT unnest(generate_series(0, {_DSIR_B} - 1)) AS b),
+tc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS t_b FROM tw GROUP BY 1),
+cc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_b FROM cw GROUP BY 1),
+counts AS (
+  SELECT allb.b, COALESCE(t_b, 0) AS t_b, COALESCE(c_b, 0) AS c_b
+  FROM allb LEFT JOIN tc ON allb.b = tc.b LEFT JOIN cc ON allb.b = cc.b),
+tot AS (
+  SELECT CAST(SUM(t_b) AS BIGINT) AS t_tot, CAST(SUM(c_b) AS BIGINT) AS c_tot
+  FROM counts),
+ratios AS (
+  SELECT b,
+         CAST(({_DSIR_SCALE} * (t_b + 1) * (c_tot + {_DSIR_B}))
+              // ((c_b + 1) * (t_tot + {_DSIR_B})) AS BIGINT) AS r_b
+  FROM counts, tot),
+scored AS (
+  SELECT doc_id, CAST(SUM(r_b) AS BIGINT) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_words
+  FROM cw JOIN ratios USING (b) GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(score, 0) AS score,
+       COALESCE(n_words, 0) AS n_words,
+       COALESCE(n_words, 0) > 0
+         AND COALESCE(score, 0) >= {_DSIR_SCALE} * COALESCE(n_words, 0) AS keep
+FROM documents d LEFT JOIN scored USING (doc_id)
+"""
+
+
 _SAMPLE_RATES = {"en": 2500, "de": 5000, "fr": 7500, "es": 1000}
 _SAMPLE_DEFAULT = 500  # zh and anything unlisted
 _SPLIT_WEIGHTS = [("train", 8000), ("val", 1000), ("test", 1000)]
@@ -3522,6 +3582,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "url_traps": (q_url_traps, SQL_URL_TRAPS),
     "exact_substring": (q_exact_substring, SQL_EXACT_SUBSTRING),
+    "importance_scores": (q_importance_scores, SQL_IMPORTANCE_SCORES),
     "robots_sitemaps": (q_robots_sitemaps, SQL_ROBOTS_SITEMAPS),
     "corpus_mix": (q_corpus_mix, SQL_CORPUS_MIX),
     # training-data pipeline: similarity search
