@@ -73,6 +73,7 @@ class OracleCrawler:
     follow_links: bool = True
     priority_source: str = "depth"  # 'depth' | 'pagerank' (engine twin)
     pagerank_iters: int = 3
+    priority_aging: int = 0  # rounds per band promotion, 0 = off (engine twin)
     _ranks: dict[int, int] | None = None
 
     frontier: list[FrontierRow] = field(default_factory=list)
@@ -290,14 +291,18 @@ class OracleCrawler:
         # start); pagerank mode blends the rank bonus inside the depth band
         for r in self.frontier:
             if r.depth > 0:
+                band_depth = r.depth
+                if self.priority_aging > 0:
+                    age = (rnd - 1) - r.discovered_round  # >= 0 by construction
+                    band_depth = max(1, r.depth - age // self.priority_aging)
                 if self.priority_source == "pagerank":
                     bonus = min(
                         self._pagerank_ranks().get(r.url_hash, 0),
                         DEPTH_PRIORITY_STEP - 1,
                     )
-                    r.priority = py_discovered_priority(r.depth) + float(bonus)
+                    r.priority = py_discovered_priority(band_depth) + float(bonus)
                 else:
-                    r.priority = py_discovered_priority(r.depth)
+                    r.priority = py_discovered_priority(band_depth)
 
         # first-wins best-discovery dedupe per url_hash
         best: dict[int, FrontierRow] = {}

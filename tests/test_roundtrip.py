@@ -216,3 +216,49 @@ def test_failure_path_parity_with_corrupt_pages(spark, tmp_path_factory):
     codes = {r["error_code"] for r in engine_rows if r["error_code"]}
     # the corrupt fixture must actually exercise the content-failure paths
     assert {"DECODE_FAILED", "CAPTION_MISMATCH", "EMPTY_CONTENT"} & codes
+
+
+def test_priority_aging_roundtrip(spark, fixture_dir, tmp_path_factory):
+    """priority_aging promotes waiting discovered rows one depth band per
+    N rounds (anti-starvation). Engine and oracle must agree byte-for-byte
+    on the resulting fetch ordering, and aging must actually reorder the
+    schedule vs pure depth order under a tight host budget."""
+    seeds = pd.read_csv(f"{fixture_dir}/seeds.csv")
+
+    oracle = OracleCrawler.from_fixture(fixture_dir)
+    oracle.default_host_budget = 1  # tight budget -> rows wait -> aging acts
+    oracle.priority_aging = 2
+    oracle.start(list(seeds.url))
+    oracle.run(max_rounds=MAX_ROUNDS)
+
+    plain = OracleCrawler.from_fixture(fixture_dir)
+    plain.default_host_budget = 1
+    plain.start(list(seeds.url))
+    plain.run(max_rounds=MAX_ROUNDS)
+    assert _norm_log(oracle.fetch_log) != _norm_log(plain.fetch_log), (
+        "aging must change the schedule on this fixture; "
+        "bump MAX_ROUNDS or tighten the budget if it stops differing"
+    )
+
+    seeds_df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(seeds.url)], ["row_index", "url"]
+    )
+    run = CrawlRun(
+        spark,
+        str(tmp_path_factory.mktemp("age-run")),
+        urls=load_fixture(spark, fixture_dir, "urls"),
+        links=load_fixture(spark, fixture_dir, "links"),
+        pages=load_fixture(spark, fixture_dir, "pages"),
+        robots=load_fixture(spark, fixture_dir, "robots"),
+        config=CrawlConfig(
+            max_rounds=MAX_ROUNDS, default_host_budget=1, priority_aging=2
+        ),
+    )
+    run.start(seeds_df)
+    run.run()
+    engine_rows = [row.asDict() for row in run.fetch_log_t.read(spark).collect()]
+    got, want = _norm_log(engine_rows), _norm_log(oracle.fetch_log)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g == w, f"engine={g}\noracle={w}"
+    run.close()

@@ -110,6 +110,13 @@ class CrawlConfig:
     # (operators/graph.py; integer-exact, oracle-replayed)
     priority_source: str = "depth"
     pagerank_iters: int = 3
+    # anti-starvation aging: every `priority_aging` rounds a discovered row
+    # waits in the frontier, it is promoted one depth band (never above
+    # band 1 — seeds at depth 0 keep strict precedence). 0 = off (the
+    # reference's pure depth order). Integer-exact: eff_depth =
+    # max(1, depth - age // priority_aging), replayed bit-for-bit by the
+    # oracle crawler.
+    priority_aging: int = 0
     # False (default): DistributedSeenTiers — hot tier derived from the seen
     # table, Bloom flushes via distributed build_from, zero per-key driver
     # state. True: legacy driver-sized cuckoo hot tier (SeenTiers).
@@ -474,6 +481,20 @@ class CrawlRun:
         # STEP−1), so depth ordering still dominates (band invariant) while
         # well-linked pages schedule first within their band. Seeds (depth
         # 0) keep strict FIFO — the reference's bulk-order contract.
+        # anti-starvation aging (priority_aging > 0): a discovered row is
+        # promoted one band per `priority_aging` rounds waited, floored at
+        # band 1 — deep rows pinned behind a tight host budget eventually
+        # schedule instead of starving forever behind fresh shallow finds.
+        # age = rnd-1-discovered_round is >= 0 (a row discovered in round x
+        # first becomes schedulable in round x+1), so floor(age/a) is the
+        # integer division the oracle replays.
+        band_depth = F.col("depth").cast("long")
+        if cfg.priority_aging > 0:
+            age = F.lit(rnd - 1).cast("long") - F.col("discovered_round").cast("long")
+            band_depth = F.greatest(
+                F.lit(1).cast("long"),
+                band_depth - F.floor(age / F.lit(int(cfg.priority_aging))).cast("long"),
+            )
         if cfg.priority_source == "pagerank":
             ranks = self._pagerank_scores()
             bonus = F.least(
@@ -486,7 +507,7 @@ class CrawlRun:
                     "priority",
                     F.when(
                         F.col("depth") > 0,
-                        faults.discovered_priority(F.col("depth")) + bonus,
+                        faults.discovered_priority(band_depth) + bonus,
                     ).otherwise(F.col("priority")),
                 )
                 .drop("rank_int")
@@ -495,7 +516,7 @@ class CrawlRun:
             frontier = frontier.withColumn(
                 "priority",
                 F.when(
-                    F.col("depth") > 0, faults.discovered_priority(F.col("depth"))
+                    F.col("depth") > 0, faults.discovered_priority(band_depth)
                 ).otherwise(F.col("priority")),
             )
 
