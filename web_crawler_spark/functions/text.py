@@ -126,9 +126,14 @@ def word_bigrams(c: Column) -> Column:
     with <2 words must short-circuit to the empty array."""
     w = words(c)
     n = F.size(w)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    # zip_with over two slices, NOT transform(sequence, i -> element_at(w,
+    # i)): element_at inside a lambda re-evaluates the regex tokenization
+    # once per element (the project-collapse trap), while slice/zip_with
+    # evaluate the array per ROW. Same output, order preserved.
+    grams = F.zip_with(
+        F.slice(w, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
     return F.when(n >= 2, grams).otherwise(F.array().cast("array<string>"))
 

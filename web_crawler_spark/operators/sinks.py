@@ -77,12 +77,16 @@ def rewrite_image_paths(
     """
     pattern = _MD_EXTRACT if style == "markdown" else _HTML_EXTRACT
     pairs = mapping.dropDuplicates(["url"]).agg(
-        F.collect_list(
-            F.struct(F.col("url").alias("u"), F.col("local_path").alias("p"))
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(F.col("url").alias("u"), F.col("local_path").alias("p"))
+            )
         ).alias("__pairs")
     )
     c = F.col(content_col)
-    lookup = F.map_from_entries(F.col("__pairs"))
+    # the map is materialized once per row in the aggregate — element_at
+    # inside the transform lambda below must not rebuild it per reference
+    lookup = F.col("__pairs")
     refs = F.array_distinct(F.regexp_extract_all(c, F.lit(pattern), F.lit(1)))
     hits = F.filter(
         F.transform(
