@@ -712,12 +712,23 @@ def contamination_check(
     Output: (corpus_id, bench_id, n_hits, n_bench) — all exact ints so the
     SQL oracle can replay the decision with zero float drift.
     """
-    c_ex = _shingled(corpus, corpus_id, corpus_text, k).select(
-        F.col("doc_id").alias("__cid"), F.explode("shingles").alias("h")
+    # join on RAW shingle strings, not md5_long hashes: hashing 10^6+
+    # corpus shingles runs inside an interpreted higher-order lambda (HOFs
+    # don't codegen) and buys nothing here — the join is against a
+    # broadcast, counts are the only output, and the SQL oracle joins on
+    # raw grams too. (The minhash/Jaccard operators keep hashes: their
+    # permutation family and shuffle keys need ints.)
+    from ..functions.text import char_shingles
+
+    c_ex = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        F.explode(char_shingles(F.col(corpus_text), k)).alias("h"),
     )
-    b_sh = _shingled(benchmark, bench_id, bench_text, k)
-    b_ex = b_sh.select(
-        F.col("doc_id").alias("__bid"),
+    b_ex = benchmark.select(
+        F.col(bench_id).alias("__bid"),
+        char_shingles(F.col(bench_text), k).alias("shingles"),
+    ).select(
+        "__bid",
         F.size("shingles").alias("n_bench"),
         F.explode("shingles").alias("h"),
     )
