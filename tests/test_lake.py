@@ -462,6 +462,36 @@ def test_schema_evolution_add_column(spark, tmp_path):
     assert srs[10] is None and srs[0] is not None
 
 
+def test_schema_evolution_merges_over_legacy_commits(spark, tmp_path):
+    """A dir committed before schema recording existed (manifest has no
+    entry for it) mixed with a post-upgrade add-column commit must still
+    read with mergeSchema — otherwise Spark infers the schema from one
+    arbitrary file and the added column can silently vanish."""
+    import json
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.overwrite(_mk(spark, 0, 5))
+    # simulate a legacy manifest: strip the schema record of the first dir
+    sid = t.current_snapshot_id()
+    mpath = os.path.join(t._snap_dir, f"s{sid:08d}.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m["schemas"] = {}
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    t.append(
+        _mk(spark, 5, 10).withColumn("depth", (F.col("url_hash") % 3).cast("int"))
+    )
+    m2 = t._manifest(t.current_snapshot_id())
+    assert len(m2["files"]) == 2 and len(m2["schemas"]) == 1  # mixed
+    assert t._needs_schema_merge(m2, m2["files"])
+    got = t.read(spark)
+    assert set(got.columns) == {"url_hash", "settled_round", "depth"}
+    rows = {r["url_hash"]: r["depth"] for r in got.collect()}
+    assert len(rows) == 10
+    assert all(rows[h] is None for h in range(5))  # legacy rows read NULL
+
+
 def test_schema_evolution_rejects_type_change(spark, tmp_path):
     """Changing an existing column's TYPE must fail loudly at commit time
     (Iceberg allows only explicit promotions), leaving the table intact."""

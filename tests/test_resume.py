@@ -81,6 +81,50 @@ def test_kill_and_resume_identical(spark, fixture_dir, tmp_path_factory):
     assert ref_seen == res_seen
 
 
+def test_resume_rolls_back_lazily_created_table(spark, fixture_dir, tmp_path_factory):
+    """A pre-hygiene run_dir (checkpoint has no trap_hosts_sid, table absent)
+    where trap detection lazily created + committed trap_hosts mid-round and
+    the round then crashed: resume() must discard those commits entirely —
+    otherwise dirty_vs_checkpoint() stays True after resume() and maintain()
+    is blocked until a full round happens to complete."""
+    import json
+    import os
+    import shutil
+
+    rdir = str(tmp_path_factory.mktemp("prehyg"))
+    run = _mk_run(spark, fixture_dir, rdir)
+    run.start(_seeds_df(spark, fixture_dir))
+    run.run_round()
+    # rewrite history: pre-hygiene checkpoints have no trap_hosts_sid and
+    # the table does not exist on disk
+    ckpt = os.path.join(rdir, "checkpoint.json")
+    with open(ckpt) as f:
+        state = json.load(f)
+    del state["trap_hosts_sid"]
+    with open(ckpt, "w") as f:
+        json.dump(state, f)
+    shutil.rmtree(os.path.join(rdir, "trap_hosts"))
+    del run  # crash boundary
+
+    fresh = _mk_run(spark, fixture_dir, rdir)
+    # simulate the crash window: the next round lazily initialized the
+    # table and committed a flagged host, then died before its checkpoint
+    from web_crawler_spark.schemas import TRAP_HOSTS
+
+    fresh.trap_hosts_t.overwrite_local([], TRAP_HOSTS)
+    fresh.trap_hosts_t.append_local(
+        [{"host": "trap.example", "flagged_round": 2, "n_urls": 50,
+          "n_paths": 1, "max_dup_segments": 0, "variant_bp": 500000}],
+        TRAP_HOSTS,
+    )
+    assert fresh.dirty_vs_checkpoint()
+    assert fresh.resume() == 1
+    assert fresh.trap_hosts_t.current_snapshot_id() is None
+    assert not fresh.dirty_vs_checkpoint(), "resume must leave a clean state"
+    fresh.maintain()  # must not raise 'un-checkpointed commits'
+    fresh.run()  # and the crawl still completes
+
+
 def test_snapshot_time_travel(spark, fixture_dir, tmp_path_factory):
     run = _mk_run(spark, fixture_dir, str(tmp_path_factory.mktemp("tt")))
     run.start(_seeds_df(spark, fixture_dir))

@@ -343,6 +343,20 @@ def test_line_dedupe_removes_cross_doc_boilerplate(spark):
     assert out[5].clean_text == "" and out[5].n_kept == 1
 
 
+def test_line_dedupe_null_text_counts_zero(spark):
+    """NULL text is zero lines: (clean_text '', n_kept 0, n_removed 0) —
+    never a negative or NULL count (size(split(NULL)) is -1/NULL depending
+    on the engine's sizeOfNull setting)."""
+    docs = spark.createDataFrame(
+        [(1, "shared\nx"), (2, "shared\ny"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in TD.line_dedupe(docs).collect()}
+    assert (out[3].clean_text, out[3].n_kept, out[3].n_removed) == ("", 0, 0)
+    # the accounting identity holds for every doc
+    assert (out[1].n_kept + out[1].n_removed) == 2
+
+
 def test_line_dedupe_within_doc_repeats_not_boiler(spark):
     """A line repeated many times inside ONE doc stays (countDistinct)."""
     docs = spark.createDataFrame(
@@ -403,6 +417,30 @@ def test_exact_substring_spans_merges_islands(spark):
         if r.doc_id == 1
     )
     assert spans == [(1, 8), (12, 19)]
+
+
+def test_exact_substring_spans_mixed_partner_merge(spark):
+    """Documents the precision caveat: adjacent windows duplicated against
+    DIFFERENT partners merge into one span even though the merged span
+    appears verbatim in no single other document. Cutting it is still the
+    paper's removal unit (every token is in some duplicated window)."""
+    # k=3; doc 1 = "a b c d": window (a b c) shared only with doc 2,
+    # window (b c d) shared only with doc 3
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "zz qq a b c rr"),
+            (3, "ww b c d yy xx"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r.doc_id: (r.start_tok, r.end_tok, r.n_windows)
+        for r in TD.exact_substring_spans(docs, k=3).collect()
+    }
+    assert spans[1] == (1, 4, 2)  # merged despite distinct partners
+    assert spans[2] == (3, 5, 1)
+    assert spans[3] == (2, 4, 1)
 
 
 def test_exact_substring_spans_within_doc_repeat_not_flagged(spark):

@@ -38,6 +38,33 @@ def test_url_shape_columns(spark):
     assert (r.host, r.path, r.depth) == ("d.example", "", 0)
 
 
+def test_host_matches_scheduler_definition(spark):
+    """The trap table joins against the frontier's url_host column
+    (plans/round.py), so url_shape must produce the SAME host for URLs
+    carrying a port or userinfo — otherwise flagged hosts never match and
+    quarantine silently no-ops for exactly the hosts it flagged."""
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.functions.urls import url_host
+
+    urls = [
+        "https://spam.example:8080/cat?sess=1",
+        "https://user@spam.example/cat?sess=2",
+        "https://u:p@spam.example:8443/cat?sess=3",
+        "https://plain.example/x",
+    ]
+    df = _urls(spark, urls)
+    got = (
+        url_shape(df)
+        .join(df.select("url", url_host(F.col("url")).alias("sched_host")), "url")
+        .collect()
+    )
+    assert got, "join lost rows"
+    for r in got:
+        assert r.host == r.sched_host, (r.url, r.host, r.sched_host)
+        assert r.host in ("spam.example", "plain.example")
+
+
 def test_query_variant_trap(spark):
     # 30 URLs over 2 distinct paths -> variant_bp 150000 >= 30000 -> trap
     trap = [f"https://t.example/p{i % 2}?sess={i}" for i in range(30)]

@@ -801,12 +801,17 @@ def line_dedupe(
         F.count("*").alias("n_kept"),
     )
     # Per-doc line totals come straight off the un-exploded text — a
-    # shuffle-free narrow projection (split always yields >= 1 element,
-    # exactly matching the posexplode row count), instead of a third
-    # groupBy over the exploded lines.
+    # shuffle-free narrow projection (split of a non-null string always
+    # yields >= 1 element, exactly matching the posexplode row count),
+    # instead of a third groupBy over the exploded lines. NULL text must
+    # count as 0 lines explicitly: size(split(NULL)) is -1/NULL depending
+    # on the engine's sizeOfNull setting, and posexplode emits no rows for
+    # it, so anything but 0 breaks n_kept + n_removed == n_total.
     totals = df.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.col(text_col), "\n")).alias("n_total"),
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(F.split(F.col(text_col), "\n")))
+        .alias("n_total"),
     )
     return totals.join(rebuilt, "doc_id", "left").select(
         "doc_id",
@@ -827,18 +832,27 @@ def exact_substring_spans(
     min_docs: int = 2,
 ) -> DataFrame:
     """Exact-substring duplicate spans (Lee et al. 2022, "Deduplicating
-    Training Data Makes Language Models Better", §3.1 ExactSubstr): find
-    every maximal run of whitespace tokens, at least ``k`` long, that
-    appears verbatim in >= ``min_docs`` DISTINCT documents, and report it
-    per document as a token span to cut.
+    Training Data Makes Language Models Better", §3.1 ExactSubstr): report,
+    per document, every maximal token span whose k-token windows ALL appear
+    verbatim in >= ``min_docs`` DISTINCT documents — the tokens the paper's
+    policy cuts.
 
     The paper builds a suffix array over the whole corpus; the
     shuffle-native equivalent is the k-token sliding-window inverted
-    index: a substring of length >= k duplicates across documents iff
-    every one of its k-token windows does, so duplicated windows are
+    index: a substring of length >= k that duplicates across documents has
+    every one of its k-token windows duplicated, so duplicated windows are
     found with ONE groupBy over window keys and maximal spans are
     reassembled per document by merging adjacent duplicated windows
     (islands-and-gaps on the window start positions).
+
+    Precision caveat (the converse direction): adjacent windows may
+    duplicate against DIFFERENT partner documents, so a merged span need
+    not itself appear verbatim in any single other document — e.g. window
+    at pos 5 shared only with doc A and pos 6 only with doc B merge into
+    one span that neither contains. Cutting the span is still sound (every
+    token sits inside some cross-doc duplicated window, the paper's removal
+    unit); treat the span as "run of duplicated windows", not "verbatim
+    cross-doc substring", when consuming it for reporting.
 
     Shape at 100 TB: explode to ~tokens-per-doc windows per document
     (linear), one groupBy on the window key (the only corpus-wide

@@ -29,19 +29,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+from ..functions.urls import url_host
+
+# authority matcher used only to strip scheme://authority off the front of
+# the URL when deriving the path; the HOST column itself must come from the
+# same definition the scheduler uses (url_host = try_parse_url HOST, no
+# userinfo/port) or quarantine joins in plans/round.py silently miss hosts
+# that carry a port (e.g. "spam.example:8080")
+_AUTHORITY_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
 
 
 def url_shape(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Per-URL shape columns: host, query-stripped path, segment depth,
     duplicate-segment count, has_params. Pure column expressions."""
     url = F.col(url_col)
-    rest = F.regexp_replace(url, _HOST_RE, "")
+    rest = F.regexp_replace(url, _AUTHORITY_RE, "")
     path = F.regexp_extract(rest, r"^([^?#]*)", 1)
     segs = F.filter(F.split(path, "/"), lambda s: s != "")
     return df.select(
         url.alias("url"),
-        F.regexp_extract(url, _HOST_RE, 1).alias("host"),
+        url_host(url).alias("host"),
         path.alias("path"),
         F.size(segs).cast("long").alias("depth"),
         (F.size(segs) - F.size(F.array_distinct(segs)))

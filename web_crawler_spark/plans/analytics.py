@@ -1274,7 +1274,8 @@ WITH u AS (
   FROM orders),
 shaped AS (
   SELECT url,
-         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS host,
+         -- replay try_parse_url(url, 'HOST'): authority minus userinfo/port
+         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#:]+)', 1) AS host,
          regexp_extract(regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+', ''),
                         '^([^?#]*)', 1) AS path,
          instr(regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+', ''), '?') > 0

@@ -245,6 +245,15 @@ class CrawlRun:
             kind = self.config.tier_kind or (
                 "driver" if self.config.driver_hot_tier else "distributed"
             )
+            if kind not in ("driver", "table", "distributed"):
+                # the CLI validates choices; the library must too — a typo
+                # like 'Table' silently falling through to the distributed
+                # tier would only blow up at the 10^10 design point, far
+                # from the misconfiguration
+                raise ValueError(
+                    f"unknown tier_kind {kind!r}: expected 'driver', "
+                    f"'table', or 'distributed'"
+                )
             if kind == "driver":
                 self.tiers = SeenTiers(
                     self.config.bloom_expected_keys,
@@ -1062,7 +1071,13 @@ class CrawlRun:
         for attr, key in self._TABLE_SIDS:
             table = getattr(self, attr)
             sid = state.get(key)
-            if sid is not None and table.current_snapshot_id() != sid:
+            # sid None covers two cases that must both roll back to the
+            # UNINITIALIZED state, not be skipped: a table lazily created
+            # mid-round (trap_hosts on a pre-hygiene run_dir) whose commits
+            # landed after the checkpoint, and a pre-hygiene checkpoint key
+            # that is simply absent. rollback(None) is a no-op when the
+            # table was never initialized, so old run_dirs resume untouched.
+            if table.current_snapshot_id() != sid:
                 table.rollback(sid)
         if state.get("tiers_file"):
             self.tiers = load_tiers(state["tiers_file"])

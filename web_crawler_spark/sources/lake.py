@@ -677,9 +677,20 @@ class SnapshotTable:
             f"(older snapshots may have been expired)"
         )
 
-    def rollback(self, snapshot_id: int) -> None:
-        """Point _current back at an earlier snapshot (crash-resume path)."""
+    def rollback(self, snapshot_id: int | None) -> None:
+        """Point _current back at an earlier snapshot (crash-resume path).
+        ``None`` rolls back to the uninitialized state — the checkpoint
+        recorded no snapshot for this table (e.g. it was lazily created
+        mid-round and the round crashed before its checkpoint), so resume
+        must discard every commit. Manifests and data dirs stay on disk
+        (snapshot ids are immutable; the next commit allocates past them)."""
         with self._commit_lock():
+            if snapshot_id is None:
+                try:
+                    os.remove(os.path.join(self.path, "_current"))
+                except FileNotFoundError:
+                    pass
+                return
             self._manifest(snapshot_id)  # validates existence
             tmp = os.path.join(self.path, f".cur-{uuid.uuid4().hex}")
             with open(tmp, "w") as f:
@@ -779,9 +790,18 @@ class SnapshotTable:
         snapshot): the scan must then union parquet schemas so old rows read
         NULL in added columns. A single-schema snapshot keeps the plain
         (cheaper, footer-skipping) read. Dirs from pre-evolution manifests
-        carry no schema record and can't force a merge on their own."""
+        carry no schema record: among themselves they can't force a merge
+        (nothing evolved before recording existed), but MIXED with any
+        recorded schema they count as a distinct unknown — otherwise a
+        legacy dir + one post-upgrade add-column commit would be read
+        without mergeSchema, letting Spark take the schema from a single
+        arbitrary file and silently drop the added column whenever that
+        file is a legacy one."""
         schemas = manifest.get("schemas", {})
-        seen = {json.dumps(schemas[d]) for d in dirs if d in schemas}
+        seen = {
+            json.dumps(schemas[d]) if d in schemas else "<unrecorded>"
+            for d in dirs
+        }
         return len(seen) > 1
 
     def _read_paths(
