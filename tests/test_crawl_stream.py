@@ -215,3 +215,64 @@ def test_gated_candidate_ingest_bounds_frontier_per_host(spark, tmp_path):
     pr = [r["priority"] for r in sorted(by_host["h1.com"], key=lambda r: r["url"])]
     assert pr == sorted(pr, reverse=True)
     assert all(r["depth"] == 1 for r in rows)
+
+
+def test_stream_restart_in_round_zero_window_keeps_tiers(
+    spark, fixture_dir, tmp_path_factory
+):
+    """The round-0 window of the restart hole: the process dies between
+    start() (checkpoint written: round 0 + tiers_file) and the FIRST tick.
+    The restarted CrawlRun agrees on the round counter (both 0), so the
+    round-mismatch guard alone never fires — but its tiers handle is gone,
+    and running without adoption would skip the tier probe and checkpoint
+    tiers_file=None, silently discarding the bloom tier for the whole run."""
+    run_dir = str(tmp_path_factory.mktemp("r0-run"))
+    tmp = tmp_path_factory.mktemp("r0-aux")
+    ticks = tmp / "ticks"
+    ticks.mkdir()
+    run = _new_run(spark, fixture_dir, run_dir, use_bloom=True)
+    assert run.checkpoint_state()["tiers_file"] is not None
+    del run  # crash before any tick
+
+    run2 = _raw_run(spark, fixture_dir, run_dir, use_bloom=True)
+    assert run2.round == 0 and run2.tiers is None
+    (ticks / "t0.csv").write_text("0\n")
+    q = crawl_round_stream(spark, run2, str(ticks), str(tmp / "ckpt"))
+    q.awaitTermination(300)
+    assert run2.round == 1
+    assert run2.tiers is not None, "bloom tier must be adopted, not dropped"
+    assert run2.checkpoint_state()["tiers_file"] is not None
+
+
+def test_gated_ingest_invalid_urls_do_not_burn_budget(spark, tmp_path):
+    """The stateful gate's GroupState count is the host's LIFETIME budget,
+    so validity must gate before it: a host whose stream opens with
+    budget_per_host malformed URLs would otherwise never crawl."""
+    cand = tmp_path / "cand"
+    cand.mkdir()
+    base = dt.datetime(2026, 1, 1)
+    schema = "host string, url string, ts timestamp"
+    # 3 invalid candidates arrive FIRST (earliest ts), then 3 valid ones
+    rows = [
+        ("h1.com", f"not a url {i}", base + dt.timedelta(seconds=i))
+        for i in range(3)
+    ] + [
+        ("h1.com", f"https://h1.com/ok{i}", base + dt.timedelta(seconds=10 + i))
+        for i in range(3)
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(cand / "f1"))
+    frontier = SnapshotTable(str(tmp_path / "frontier"))
+    frontier.overwrite(spark.createDataFrame([], FRONTIER))
+    q = ingest_gated_candidates(
+        spark,
+        str(cand / "*"),
+        frontier,
+        str(tmp_path / "ck"),
+        budget_per_host=3,
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    urls = sorted(r["url"] for r in frontier.read(spark, schema=FRONTIER).collect())
+    assert urls == [f"https://h1.com/ok{i}" for i in range(3)]

@@ -312,3 +312,38 @@ def test_read_seeds_is_header_name_keyed(spark, tmp_path):
     p2.write_text("link,mode\nx,content\n")
     with _pytest.raises(AdmissionError):
         read_seeds(spark, str(p2))
+
+
+def test_seed_stream_new_checkpoint_applies_new_data(spark, tmp_path):
+    """Idempotence markers are scoped per stream incarnation
+    (streaming/marker.py): a SECOND stream with a fresh checkpoint feeding
+    the same frontier table renumbers its batches from 0, and those batch
+    ids must not collide with the first stream's markers — the new seeds
+    would be silently skipped, which is never recoverable."""
+    from web_crawler_spark.schemas import FRONTIER
+    from web_crawler_spark.sources.lake import SnapshotTable
+    from web_crawler_spark.streaming.ingest import ingest_seed_stream
+
+    frontier = SnapshotTable(str(tmp_path / "frontier"))
+    frontier.overwrite(spark.createDataFrame([], FRONTIER))
+
+    d1 = tmp_path / "seeds1"
+    d1.mkdir()
+    (d1 / "a.csv").write_text("url,mode\nhttps://first.com/x,content\n")
+    q1 = ingest_seed_stream(
+        spark, str(d1), frontier, str(tmp_path / "ck1"), available_now=True
+    )
+    q1.awaitTermination(120)
+
+    # second incarnation: new source dir, NEW checkpoint, same table —
+    # its batch 0 must not be mistaken for ck1's batch 0
+    d2 = tmp_path / "seeds2"
+    d2.mkdir()
+    (d2 / "b.csv").write_text("url,mode\nhttps://second.com/y,content\n")
+    q2 = ingest_seed_stream(
+        spark, str(d2), frontier, str(tmp_path / "ck2"), available_now=True
+    )
+    q2.awaitTermination(120)
+
+    urls = sorted(r["url"] for r in frontier.read(spark, schema=FRONTIER).collect())
+    assert urls == ["https://first.com/x", "https://second.com/y"]

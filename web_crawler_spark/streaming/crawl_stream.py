@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from ..schemas import FRONTIER
 from ..operators import faults
 from ..functions import urls as U
+from .marker import marker_value, stream_app_id
 from .stateful import politeness_gate
 
 _FRONTIER_COLS = [f.name for f in FRONTIER.fields]
@@ -61,25 +62,42 @@ def crawl_round_stream(
 
     def body(_df, batch_id: int) -> None:
         state = run.checkpoint_state()
-        if batch_id <= state.get("stream_batch_id", -1):
-            # round fully committed before the crash → skip replay. The
-            # freshly restarted process may still hold a brand-new CrawlRun
-            # (round=0, tiers=None): adopt the on-disk state NOW so the next
-            # non-replayed batch continues the round numbering and tier
-            # state instead of restarting from round 1 (ADVICE r2 #2).
-            if run.round != state.get("round", 0):
+        app_id = stream_app_id(checkpoint_dir)
+        # this CrawlRun object must mirror the on-disk checkpoint before it
+        # runs (or skips) anything. Two restart windows need adoption:
+        # round mismatch (restart after round >= 1), and the round-0 window
+        # — a restart between start() and the first tick leaves a brand-new
+        # CrawlRun (round=0, tiers=None) that AGREES on the round counter
+        # but has lost the bloom-tier handle; running on it would silently
+        # skip the tier probe and checkpoint tiers_file=None, discarding
+        # the tier state for the rest of the run (ADVICE r2 #2).
+        stale = run.round != state.get("round", 0) or (
+            run.tiers is None and state.get("tiers_file")
+        )
+        # marker scoped by the stream's query id: batch ids of a recreated
+        # checkpoint renumber from 0 and must not be confused with the old
+        # stream's — each tick of the new stream runs its round normally.
+        # Markers written before app-id scoping existed carry no
+        # stream_app_id; treat those as same-stream (legacy behavior) so an
+        # in-place upgrade doesn't re-run the last committed round.
+        recorded_app = state.get("stream_app_id")
+        same_stream = recorded_app == app_id or (
+            recorded_app is None and "stream_batch_id" in state
+        )
+        if same_stream and batch_id <= state.get("stream_batch_id", -1):
+            # round fully committed before the crash → skip replay, but
+            # still adopt the on-disk state for the next non-replayed batch
+            if stale:
                 run.resume()
             return
-        if run.dirty_vs_checkpoint() or run.round != state.get("round", 0):
+        if run.dirty_vs_checkpoint() or stale:
             # dirty: discard the crashed attempt's partial commits.
-            # round mismatch with CLEAN tables: a process restart after a
-            # fully-committed round but before the stream offset commit —
-            # the tables need no rollback, but this CrawlRun object must
-            # adopt the checkpoint's round counter and tiers_file or it
-            # would renumber rounds from 1 and checkpoint tiers_file=None,
-            # discarding the bloom-tier state (ADVICE r2 #2).
+            # stale with CLEAN tables: adopt the checkpoint's round
+            # counter and tiers_file (no rollback needed).
             run.resume()
-        run.run_round(checkpoint_extra={"stream_batch_id": batch_id})
+        run.run_round(
+            checkpoint_extra={"stream_batch_id": batch_id, "stream_app_id": app_id}
+        )
 
     src = (
         spark.readStream.schema(TICK_SCHEMA)
@@ -117,14 +135,22 @@ def ingest_gated_candidates(
         .option("maxFilesPerTrigger", 1)
         .parquet(candidates_dir)
     )
-    admitted = politeness_gate(src, budget_per_host)
+    # validity gates BEFORE the stateful budget: the gate's GroupState count
+    # is the host's lifetime budget, so an invalid candidate admitted and
+    # then dropped in the batch body would burn a slot irrecoverably — a
+    # host whose stream opens with budget_per_host malformed URLs would
+    # never crawl (the seed-ingest path enforces the same invariant:
+    # "invalid rows do not consume cap slots", ADVICE r1 #4)
+    admitted = politeness_gate(
+        src.filter(U.is_valid_url(F.col("url"))), budget_per_host
+    )
 
     def body(batch, batch_id: int) -> None:
-        if batch_id in frontier_table.applied_meta("gate_batch_id"):
+        mark = marker_value(checkpoint_dir, batch_id)
+        if mark in frontier_table.applied_meta("gate_batch_id"):
             return
         rows = (
-            batch.filter(U.is_valid_url(F.col("url")))
-            .select(
+            batch.select(
                 "url",
                 U.url_hash(F.col("url")).alias("url_hash"),
                 F.col("host"),
@@ -144,7 +170,7 @@ def ingest_gated_candidates(
             )
             .select(*_FRONTIER_COLS)
         )
-        frontier_table.append(rows, meta={"gate_batch_id": batch_id})
+        frontier_table.append(rows, meta={"gate_batch_id": mark})
 
     writer = admitted.writeStream.foreachBatch(body).option(
         "checkpointLocation", checkpoint_dir

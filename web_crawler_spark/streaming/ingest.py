@@ -27,6 +27,7 @@ from ..functions import urls as U
 from ..operators import faults
 from ..schemas import FRONTIER, SEEDS_RAW
 from ..sources.seeds import MAX_URLS_PER_CSV
+from .marker import marker_value
 
 _FRONTIER_COLS = [f.name for f in FRONTIER.fields]
 
@@ -85,19 +86,23 @@ def _admit_batch(
     frontier_table.append(rows, meta=meta)
 
 
-def _idempotent_admit(batch, batch_id, frontier_table, **kw) -> None:
+def _idempotent_admit(batch, batch_id, frontier_table, checkpoint_dir, **kw) -> None:
     """Skip micro-batches already applied: foreachBatch replays the last
     batch after a crash between the table append and the offset commit,
     which would double-insert seed rows without this guard.
 
-    The applied batch_id is recorded as commit *metadata inside the same
+    The applied marker is recorded as commit *metadata inside the same
     SnapshotTable commit as the rows* (atomic by the manifest os.replace),
     so there is no crash window between data and marker — exactly-once
-    frontier appends hold across any crash point (ADVICE r1 #1)."""
-    if batch_id in frontier_table.applied_meta("ingest_batch_id"):
+    frontier appends hold across any crash point (ADVICE r1 #1). The marker
+    is scoped by the stream's query id (streaming/marker.py): batch ids are
+    only meaningful within one checkpoint's lifetime, and a recreated
+    checkpoint must not silently skip never-applied data."""
+    mark = marker_value(checkpoint_dir, batch_id)
+    if mark in frontier_table.applied_meta("ingest_batch_id"):
         return
     _admit_batch(
-        batch, batch_id, frontier_table, meta={"ingest_batch_id": batch_id}, **kw
+        batch, batch_id, frontier_table, meta={"ingest_batch_id": mark}, **kw
     )
 
 
@@ -115,7 +120,9 @@ def ingest_seed_stream(
     Returns the StreamingQuery (already started). With ``available_now``
     the query drains existing files and stops — the test/CI mode; without
     it the stream keeps watching the directory. Batch application is
-    idempotent on batch_id (exactly-once frontier appends across restarts).
+    idempotent on (stream query id, batch_id) — exactly-once frontier
+    appends across restarts of the SAME checkpoint; a recreated checkpoint
+    re-applies (see streaming/marker.py for why that is the sound default).
 
     Schema-on-read contract: file streams need the schema up front, so
     streamed seed CSVs must follow the canonical SEEDS_RAW column order
@@ -131,7 +138,8 @@ def ingest_seed_stream(
     writer = (
         src.writeStream.foreachBatch(
             lambda df, bid: _idempotent_admit(
-                df, bid, frontier_table, exclude_anchors=exclude_anchors
+                df, bid, frontier_table, checkpoint_dir,
+                exclude_anchors=exclude_anchors,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -43,6 +43,7 @@ from ..operators.multimodal import (
 )
 from ..schemas import ADMITTED_PAIRS
 from ..session import release_frame
+from .marker import marker_value
 
 PAIR_STREAM_SCHEMA = "pair_id string, bytes binary, caption string"
 
@@ -60,12 +61,21 @@ def admit_pair_batch(
     min_tokens: int = 3,
     max_hamming: int = 3,
     bands: int = 4,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """foreachBatch body — gates, within-batch prune, cross-batch probe,
-    idempotent append. Usable directly for batch-driven backfills too."""
+    idempotent append. Usable directly for batch-driven backfills too
+    (no checkpoint_dir → the marker is the caller's bare batch_id; stream
+    callers pass their checkpoint so markers are scoped per stream
+    incarnation, see streaming/marker.py)."""
     from ..operators.textdedup import connected_components
 
-    if batch_id in admitted_table.applied_meta("pair_batch_id"):
+    mark = (
+        marker_value(checkpoint_dir, batch_id)
+        if checkpoint_dir is not None
+        else batch_id
+    )
+    if mark in admitted_table.applied_meta("pair_batch_id"):
         return
     spark = batch.sparkSession
     base = pair_metrics(batch)
@@ -101,7 +111,7 @@ def admit_pair_batch(
         reps.select("pair_id", "phash"), index, max_hamming=max_hamming, bands=bands
     )
     admitted = reps.join(dupes, "pair_id", "left_anti")
-    admitted_table.append(admitted, meta={"pair_batch_id": batch_id})
+    admitted_table.append(admitted, meta={"pair_batch_id": mark})
     # the append above fully materialized everything downstream of this
     # batch's checkpoints (the metrics frame + the component labels, both
     # leaves of admitted's plan and owned by nobody else) — free their
@@ -132,7 +142,9 @@ def admit_pair_stream(
         .parquet(pairs_dir)
     )
     writer = src.writeStream.foreachBatch(
-        lambda df, bid: admit_pair_batch(df, bid, admitted_table, **gate_kw)
+        lambda df, bid: admit_pair_batch(
+            df, bid, admitted_table, checkpoint_dir=checkpoint_dir, **gate_kw
+        )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)
