@@ -168,13 +168,14 @@ class OracleCrawler:
     # ------------------------------------------------------------------
 
     def _path(self, url: str) -> str:
-        """Engine twin of try_parse_url(url, 'PATH'): case-insensitive
-        scheme, query/fragment excluded, '' (not '/') for path-less URLs —
-        robots prefix matching must agree byte-for-byte."""
+        """Engine twin of the robots-matching path: query/fragment excluded,
+        and '/' for path-less URLs (RFC 9309 §2.2.2 — 'Disallow: /' must
+        block 'https://example.com' too). Must agree byte-for-byte with
+        operators/politeness.py:robots_filter."""
         try:
-            return urlparse(url).path
+            return urlparse(url).path or "/"
         except ValueError:
-            return ""
+            return "/"
 
     def _fetch_one(self, row: FrontierRow, fetch_seq: int, rnd: int) -> dict:
         image_id = self.urls.get(row.url)
@@ -358,7 +359,14 @@ class OracleCrawler:
             budget = pol.get("budget", self.default_budget)
             delay = pol.get("crawl_delay_ms")
             if delay:
-                budget = min(budget, max(1, int(self.round_window_ms / delay)))
+                # twin of politeness.with_host_budget(rnd=...): a delay
+                # longer than the round window fetches once every
+                # ceil(delay/window) rounds (rounds 1, 1+p, 1+2p, ...)
+                period = -(-delay // self.round_window_ms)
+                if period > 1:
+                    budget = min(budget, 1 if (rnd - 1) % period == 0 else 0)
+                else:
+                    budget = min(budget, max(1, int(self.round_window_ms / delay)))
             rows.sort(key=lambda r: (-r.priority, r.url_hash))
             selected.extend(rows[:budget])
 

@@ -78,3 +78,22 @@ def test_validation_udfs(spark):
 
 def by_id_blob(df, iid):
     return bytes(df.filter(F.col("image_id") == iid).first().bytes)
+
+
+def test_fixture_neardup_variants_have_present_base(tmp_path):
+    """Every generated near-dup id 'img_X~dN' must have its base 'img_X'
+    present in the corpus — a variant keyed on an index that was itself a
+    variant would render pixels phash-close to nothing, silently
+    undershooting the configured neardup_rate."""
+    import pandas as pd
+
+    from web_crawler_spark.sources.fixtures import generate_site
+
+    d = str(tmp_path / "site")
+    generate_site(d, n_pages=300, n_hosts=10, neardup_rate=0.5)
+    ids = set(pd.read_parquet(f"{d}/urls.parquet")["image_id"])
+    variants = [i for i in ids if "~d" in i]
+    assert variants, "high neardup_rate must produce variants"
+    for v in variants:
+        base = v.partition("~d")[0]
+        assert base in ids, f"{v} renders {base}, which is not in the corpus"

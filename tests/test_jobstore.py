@@ -100,3 +100,56 @@ def test_compact_preserves_live_state_and_drops_tombstones(spark, tmp_path):
     # CRUD keeps working on the compacted log
     s.rename(a["saved_job_id"], "kept", now_ms=5)
     assert s.find_by_name("kept") is not None
+
+
+def test_update_rejects_raw_config_json(spark, tmp_path):
+    """A raw config_json (or any typo'd field) must fail BEFORE anything is
+    committed — a non-JSON value in the log would poison every later
+    get()/find_by_name() with a decode error, permanently."""
+    import pytest
+
+    from web_crawler_spark.sources.jobstore import SavedJobStore
+
+    store = SavedJobStore(spark, str(tmp_path / "jobs"))
+    j = store.create(name="crawl-a", config={"depth": 2}, now_ms=1)
+    with pytest.raises(ValueError, match="config_json"):
+        store.update(j["saved_job_id"], {"config_json": "oops"}, now_ms=2)
+    with pytest.raises(ValueError, match="unknown"):
+        store.update(j["saved_job_id"], {"nmae": "typo"}, now_ms=2)
+    # nothing was committed; the store stays readable and at version 1
+    got = store.get(j["saved_job_id"])
+    assert got["version"] == 1 and got["config"] == {"depth": 2}
+
+
+def test_concurrent_updates_allocate_distinct_versions(spark, tmp_path):
+    """The store-level mutation lock serializes the read-modify-write:
+    concurrent updates must land distinct versions (duplicate versions
+    would make current()'s latest-wins resolution nondeterministic)."""
+    import threading
+
+    from web_crawler_spark.sources.jobstore import SavedJobStore
+
+    store = SavedJobStore(spark, str(tmp_path / "jobs"))
+    j = store.create(name="crawl-a", config={}, now_ms=1)
+    jid = j["saved_job_id"]
+    stores = [SavedJobStore(spark, str(tmp_path / "jobs")) for _ in range(4)]
+    errs: list = []
+
+    def worker(s, i):
+        try:
+            for k in range(3):
+                s.update(jid, {"description": f"w{i}.{k}"}, now_ms=10 + i)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(s, i)) for i, s in enumerate(stores)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    from pyspark.sql import functions as F
+
+    log = store._log().filter(F.col("saved_job_id") == jid).collect()
+    versions = sorted(r["version"] for r in log)
+    assert versions == list(range(1, 14)), versions  # 1 create + 12 updates

@@ -232,11 +232,15 @@ def test_idempotent_admit_atomic_with_commit(spark, tmp_path):
     batch = spark.createDataFrame(
         [("https://a.com/x", None, None, None, None, None, None, None)], SEEDS_RAW
     )
-    _idempotent_admit(batch, 0, frontier)
-    _idempotent_admit(batch, 0, frontier)  # replay after "crash"
+    ck = str(tmp_path / "ck")
+    _idempotent_admit(batch, 0, frontier, ck)
+    _idempotent_admit(batch, 0, frontier, ck)  # replay after "crash"
     assert frontier.read(spark, schema=FRONTIER).count() == 1
-    _idempotent_admit(batch, 1, frontier)  # a genuinely new batch applies
+    _idempotent_admit(batch, 1, frontier, ck)  # a genuinely new batch applies
     assert frontier.read(spark, schema=FRONTIER).count() == 2
+    # a DIFFERENT stream incarnation's batch 0 is not this stream's batch 0
+    _idempotent_admit(batch, 0, frontier, str(tmp_path / "ck2"))
+    assert frontier.read(spark, schema=FRONTIER).count() == 3
 
 
 def test_admit_cap_counts_only_valid_seeds(spark, tmp_path):
@@ -620,3 +624,30 @@ def test_time_travel_as_of_timestamp(spark, tmp_path):
     with pytest.raises(ValueError, match="at or before"):
         t.snapshot_as_of(after_s1)
     assert t.snapshot_as_of(time.time()) == s3
+
+
+def test_commit_cas_rejects_moved_table(spark, tmp_path):
+    """expected_parent CAS (compact's concurrency guard): a commit prepared
+    against a snapshot the table has moved past must raise and leave the
+    table exactly as the concurrent writer left it — an unconditional
+    overwrite would silently erase the interleaved append's rows AND its
+    idempotence marker."""
+    import pytest
+
+    from web_crawler_spark.sources.lake import CommitConflictError
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.overwrite(_mk(spark, 0, 5))
+    base = t.current_snapshot_id()
+    t.append(_mk(spark, 5, 10), meta={"ingest_batch_id": "q1:7"})  # concurrent
+    n_dirs = len(os.listdir(t._data_dir))
+    with pytest.raises(CommitConflictError):
+        t._commit(_mk(spark, 0, 5), "overwrite", expected_parent=base)
+    assert t.read(spark).count() == 10
+    assert "q1:7" in t.applied_meta("ingest_batch_id")
+    # the conflicting writer's data dir was cleaned up, not orphaned
+    assert len(os.listdir(t._data_dir)) == n_dirs
+    # compact retries cleanly against the new current snapshot
+    t.compact(spark)
+    assert t.read(spark).count() == 10
+    assert "q1:7" in t.applied_meta("ingest_batch_id")  # marker carried

@@ -344,3 +344,51 @@ def test_ffprobe_path_resolution(tmp_path, monkeypatch):
         assert "ffmpeg" in os.path.dirname(got)  # dir untouched by lookup
     finally:
         M._reset_codec_probes()
+
+
+def test_sniff_format_riff_requires_webp_fourcc(spark):
+    """RIFF is a generic container: WAV/AVI share the magic, so 'webp'
+    requires bytes 9-12 == 'WEBP' — audio must not be labeled an image."""
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.operators.multimodal import sniff_format
+
+    rows = [
+        (1, b"RIFF\x10\x00\x00\x00WEBPVP8 "),
+        (2, b"RIFF\x10\x00\x00\x00WAVEfmt "),
+        (3, b"RIFF\x10\x00\x00\x00AVI LIST"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, bytes binary")
+    got = {
+        r["media_id"]: r["fmt"]
+        for r in df.select("media_id", sniff_format(F.col("bytes")).alias("fmt")).collect()
+    }
+    assert got == {1: "webp", 2: "unknown", 3: "unknown"}
+
+
+def test_phash_neardup_bands1_exact_match(spark):
+    """bands=1 (exact 64-bit phash equality) is a legal config: the full
+    64-bit mask must not overflow LongType at plan build."""
+    from web_crawler_spark.functions.images import encode_image, render_pixels
+    from web_crawler_spark.operators.multimodal import phash_neardup_pairs
+
+    px = render_pixels("img_a", 32, 32)
+    blob = encode_image(px, "png")
+    df = spark.createDataFrame(
+        [(1, blob), (2, blob), (3, encode_image(render_pixels("img_zzz", 32, 32), "png"))],
+        "media_id long, bytes binary",
+    )
+    pairs = phash_neardup_pairs(df, max_hamming=0, bands=1).collect()
+    assert [(r["media_a"], r["media_b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
+
+
+def test_decode_video_frames_empty_stream(spark):
+    """pack_frames([]) == b'': a zero-frame packed stream decodes to no
+    frames instead of being misrouted to the real-container ffmpeg path."""
+    from web_crawler_spark.operators.multimodal import (
+        decode_video_frames,
+        pack_frames,
+    )
+
+    assert pack_frames([]) == b""
+    assert decode_video_frames(b"") == []

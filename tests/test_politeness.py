@@ -298,3 +298,63 @@ def test_extract_sitemaps(spark):
         ("a.example", "http://a.example/two.xml"): True,
         ("b.example", "ftp://bad/x.xml"): False,
     }
+
+
+def test_robots_blocks_pathless_url(spark, robots):
+    """RFC 9309 §2.2.2: 'https://h0.com' matches as path '/' — parse_url
+    PATH yields '' there, and before the fix 'Disallow: /private' could
+    never block it while 'Disallow: /' blocked nothing at the root."""
+    from pyspark.sql import functions as F
+
+    policy = spark.createDataFrame(
+        [("root.com", ["/"]), ("h0.com", ["/private"])],
+        "host string, disallow_prefixes array<string>",
+    )
+    fr = spark.createDataFrame(
+        [
+            ("https://root.com", 1, "root.com", 0.0),   # path-less, all blocked
+            ("https://root.com/x", 2, "root.com", 0.0),
+            ("https://h0.com", 3, "h0.com", 0.0),        # path-less, allowed
+        ],
+        ["url", "url_hash", "host", "priority"],
+    )
+    allowed, blocked = robots_filter(fr, policy)
+    assert {r.url_hash for r in blocked.collect()} == {1, 2}
+    assert {r.url_hash for r in allowed.collect()} == {3}
+    # the Python oracle twin applies the same rule
+    from tests.oracle.crawler import OracleCrawler
+
+    assert OracleCrawler._path(None, "https://root.com") == "/"
+
+
+def test_crawl_delay_longer_than_window_fetches_every_nth_round(spark):
+    """A delay LONGER than the round window means < 1 fetch per round: with
+    the round number the host fetches once every ceil(delay/window) rounds
+    (flooring at 1 every round would over-fetch it N-fold)."""
+    from web_crawler_spark.operators.politeness import with_host_budget
+
+    frontier = spark.createDataFrame(
+        [(f"https://glacial.com/{i}", "glacial.com") for i in range(4)],
+        ["url", "host"],
+    )
+    robots = spark.createDataFrame(
+        [("glacial.com", None, 180_000, 8)],
+        "host string, disallow_prefixes array<string>, crawl_delay_ms long, max_per_round int",
+    )
+
+    def budget(rnd):
+        out = with_host_budget(
+            frontier, robots, default_budget=8, round_window_ms=60_000, rnd=rnd
+        )
+        [r] = out.select("host_budget").distinct().collect()
+        return r["host_budget"]
+
+    # period = ceil(180000/60000) = 3: fetch on rounds 1, 4, 7, ...
+    assert [budget(r) for r in (1, 2, 3, 4, 5, 6, 7)] == [1, 0, 0, 1, 0, 0, 1]
+    # without rnd the legacy once-per-round floor applies (disclosed)
+    out = with_host_budget(frontier, robots, default_budget=8, round_window_ms=60_000)
+    assert out.select("host_budget").distinct().collect()[0]["host_budget"] == 1
+    # the Python oracle replays the same gate
+    for rnd, want in [(1, 1), (2, 0), (3, 0), (4, 1)]:
+        period = -(-180_000 // 60_000)
+        assert (1 if (rnd - 1) % period == 0 else 0) == want

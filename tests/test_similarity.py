@@ -220,3 +220,55 @@ def test_ivf_results_are_exact_within_probed_cells(spark):
     for r in ivf:
         assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]
         assert 1 <= r["rank"] <= 3
+
+
+def test_numpy_path_handles_null_embeddings(spark):
+    """A NULL embedding row must not crash the numpy fast path (np.array
+    over a list containing None raises inside the worker); both paths drop
+    it and stay equal — the documented same-output contract."""
+    rows = [(r["vec_id"], r["embedding"]) for r in _vecs(spark).collect()]
+    rows.append((99, None))
+    rows.append((1000, None))  # NULL in the query id range too? id>=32, so no
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(map(tuple, S.cosine_topk(df, k=3, n_queries=8).collect()))
+    b = sorted(map(tuple, S.cosine_topk_numpy(df, k=3, n_queries=8).collect()))
+    assert a == b and a
+
+
+def test_neardup_threshold_uses_exact_cosine(spark):
+    """The τ comparison runs on the EXACT cosine; rounding is display-only.
+    A pair whose true cosine rounds UP to τ must not be admitted."""
+    import math
+
+    # two 64-dim vectors with cosine just below 0.95 but rounding to 0.95:
+    # cos([1,0,...pad], [a,b,...pad]) tuned via the angle
+    theta = math.acos(0.94996)
+    v1 = [1.0, 0.0] + [0.0] * 62
+    v2 = [math.cos(theta), math.sin(theta)] + [0.0] * 62
+    df = spark.createDataFrame(
+        [(0, v1), (1, v2)], "vec_id long, embedding array<double>"
+    )
+    got = S.neardup_pairs(df, threshold=0.95, planes=1).collect()
+    assert got == [], [tuple(r) for r in got]
+    # sanity: lowering τ admits the pair, with the 4dp display rounding
+    got2 = S.neardup_pairs(df, threshold=0.9, planes=1).collect()
+    assert len(got2) == 1 and abs(got2[0]["cosine"] - 0.95) < 5e-5
+
+
+def test_lsh_assign_rejects_dim_mismatch(spark):
+    """A vector length != dims must fail loudly — zip_with's NULL padding
+    would otherwise send EVERY vector to bucket 0 and degrade the bucketed
+    join to an undisclosed all-pairs cross join. NULL vectors pass through."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 128)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(SparkRuntimeException, match="64-dim"):
+        S.lsh_assign(df, planes=2).collect()
+    ok = spark.createDataFrame(
+        [(0, [1.0] * 64), (1, None)], "vec_id long, embedding array<double>"
+    )
+    got = {r["vec_id_b"]: r["bucket"] for r in S.lsh_assign(ok, planes=2).collect()}
+    assert set(got) == {0, 1}

@@ -183,3 +183,30 @@ def test_pii_redact_counts_and_sequencing(spark):
     # deliberately shape-based (like most published scrubbers): octet
     # ranges are not validated
     assert got[4].n_ip == 1 and "<IP>" in got[4].clean_text
+
+
+def test_nonblank_lines_and_line_split_are_crlf_safe(spark):
+    """CRLF documents: a visually blank \r\n line is blank, and identical
+    lines with and without the \r ending are the same line (the Gopher
+    dup-line fraction and C4 line dedup both depend on this)."""
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.functions.text import nonblank_lines
+    from web_crawler_spark.operators.textdedup import line_dedupe
+
+    crlf = "alpha\r\n\r\nbeta\r\nalpha"
+    [r] = (
+        spark.createDataFrame([(crlf,)], ["text"])
+        .select(nonblank_lines(F.col("text")).alias("ls"))
+        .collect()
+    )
+    assert r.ls == ["alpha", "beta", "alpha"]  # no \r residue, blank dropped
+
+    docs = spark.createDataFrame(
+        [(1, "shared line\r\nown one"), (2, "shared line\nown two")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedupe(docs).collect()}
+    # the CRLF and LF spellings of "shared line" are ONE boiler key
+    assert out[1].clean_text == "own one" and out[2].clean_text == "own two"
+    assert out[1].n_removed == 1 and out[2].n_removed == 1

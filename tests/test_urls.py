@@ -168,3 +168,21 @@ def test_domain_and_path_slug(spark):
     )
     got = [r.s for r in df.select(U.domain_and_path_slug(F.col("u")).alias("s")).collect()]
     assert got == ["my-site_co_uk_blog", "example_com"]
+
+
+def test_remove_anchors_strips_across_newlines(spark):
+    """Hostile hrefs with an embedded newline after '#': the engine must
+    agree with the Python twin's split('#', 1)[0] — without DOTALL the
+    regex leaves '\nb' behind and url_hash forks between engine and oracle."""
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.functions.urls import py_canonicalize, remove_anchors
+
+    raw = "https://h.example/p#a\nb"
+    [r] = (
+        spark.createDataFrame([(raw,)], ["u"])
+        .select(remove_anchors(F.col("u")).alias("c"))
+        .collect()
+    )
+    assert r.c == "https://h.example/p"
+    assert r.c == py_canonicalize(raw, None)

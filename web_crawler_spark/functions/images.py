@@ -139,7 +139,14 @@ def decode_image(blob: bytes) -> np.ndarray:
         if HAVE_PIL and blob:
             import io
 
-            return np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
+            try:
+                return np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
+            except Exception as exc:
+                # PIL raises UnidentifiedImageError/OSError/DecompressionBomb
+                # etc. on hostile bytes; the documented contract is ValueError
+                # only, so the UDFs' error-as-data handlers keep working on
+                # PIL-enabled clusters instead of failing the stage
+                raise ValueError(f"undecodable image bytes: {exc}") from exc
         raise ValueError("not a WCSI image")
     w = int.from_bytes(blob[6:8], "little")
     h = int.from_bytes(blob[8:10], "little")

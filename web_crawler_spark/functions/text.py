@@ -72,7 +72,9 @@ def link_text_fallback(text: Column, url: Column) -> Column:
 def clean_text(c: Column) -> Column:
     """U12 (crawler/parser.py:174-178, clean_content :217-223): strip each
     line, drop empty lines' extra whitespace, collapse ≥3 newlines to 2."""
-    stripped = F.regexp_replace(F.regexp_replace(c, r"[ \t]*\n[ \t]*", "\n"), r"^[ \t]+|[ \t]+$", "")
+    stripped = F.regexp_replace(
+        F.regexp_replace(c, r"[ \t\r]*\n[ \t\r]*", "\n"), r"^[ \t\r]+|[ \t\r]+$", ""
+    )
     return F.trim(F.regexp_replace(stripped, r"\n{3,}", "\n\n"))
 
 
@@ -140,8 +142,13 @@ def word_bigrams(c: Column) -> Column:
 
 def nonblank_lines(c: Column) -> Column:
     """Non-blank lines (array<string>, NOT distinct) for duplicate-line
-    repetition signals (the Gopher §A.1.1 dup-line fraction)."""
-    return F.filter(F.split(c, "\n"), lambda l: F.length(F.trim(l)) > 0)
+    repetition signals (the Gopher §A.1.1 dup-line fraction).
+
+    Splits on ``\\r?\\n``: crawled CRLF documents would otherwise leave a
+    ``\\r`` on every line — visually blank lines count as non-blank (trim
+    strips only spaces/tabs) and every blank line duplicates every other,
+    inflating the dup-line fraction until clean docs get flagged."""
+    return F.filter(F.split(c, r"\r?\n"), lambda l: F.length(F.trim(l)) > 0)
 
 
 def char_shingles(c: Column, k: int = 5) -> Column:

@@ -99,8 +99,12 @@ def canonicalize(href: Column, base: Column, *, strip_fragment: bool = True) -> 
 
 
 def remove_anchors(url: Column) -> Column:
-    """Strip '#fragment', keep the rest verbatim (link_extractor.py:39-42)."""
-    return F.regexp_replace(url, "#.*$", "")
+    """Strip everything from the first '#', keep the rest verbatim
+    (link_extractor.py:39-42). (?s) so an embedded newline after the '#'
+    (hostile href) is stripped too — the Python twin is split('#', 1)[0],
+    and without DOTALL the Java/RE2 '.' stops at the newline and the hash
+    survives, forking url_hash between engine and oracle."""
+    return F.regexp_replace(url, r"(?s)#.*", "")
 
 
 def url_hash(url: Column) -> Column:

@@ -71,13 +71,22 @@ _MAGIC_HEX = {
 
 
 def sniff_format(blob) -> F.Column:
-    """Container sniff from magic bytes — pure column expr, no decode."""
+    """Container sniff from magic bytes — pure column expr, no decode.
+
+    WebP needs BOTH checks: RIFF is a generic container (WAV/AVI share the
+    magic), so bytes 9-12 must read 'WEBP' or audio blobs would be labeled
+    images."""
     head = F.lower(F.hex(F.substring(blob, 1, 4)))
+    riff_kind = F.lower(F.hex(F.substring(blob, 9, 4)))
     return (
         F.when(head.startswith(_MAGIC_HEX["WCSI"]), F.lit("wcsi"))
         .when(head.startswith(_MAGIC_HEX["png"]), F.lit("png"))
         .when(head.startswith(_MAGIC_HEX["jpeg"]), F.lit("jpeg"))
-        .when(head.startswith(_MAGIC_HEX["webp_riff"]), F.lit("webp"))
+        .when(
+            head.startswith(_MAGIC_HEX["webp_riff"])
+            & (riff_kind == F.lit("57454250")),  # "WEBP"
+            F.lit("webp"),
+        )
         .otherwise(F.lit("unknown"))
     )
 
@@ -168,8 +177,14 @@ def _decode_blob(blob: bytes) -> np.ndarray:
     if pil is not None:
         import io
 
-        img = pil.open(io.BytesIO(blob)).convert("RGB")
-        px = np.asarray(img, dtype=np.uint8)
+        try:
+            img = pil.open(io.BytesIO(blob)).convert("RGB")
+            px = np.asarray(img, dtype=np.uint8)
+        except Exception as exc:
+            # PIL raises UnidentifiedImageError/OSError/etc. on corrupt
+            # bytes; the callers' error-as-data handlers catch ValueError —
+            # anything else would escape the UDF and fail the whole stage
+            raise ValueError(f"undecodable image bytes: {exc}") from exc
         if px.ndim != 3 or px.shape[2] != 3:
             raise ValueError(f"unexpected decoded shape {px.shape}")
         return px
@@ -290,6 +305,11 @@ def decode_video_frames(blob: bytes, every: int = 1) -> list[np.ndarray]:
     rawvideo rgb24 over a pipe, reshaped per the probe's frame geometry.
     Without ffmpeg the real-container path is an explicit stub.
     """
+    if not blob:
+        # pack_frames([]) == b'': a zero-frame packed stream, not a real
+        # container — routing it to ffmpeg would raise where the correct
+        # answer is simply no frames
+        return []
     if len(blob) >= 8 and blob[4:8] == b"WCSI":
         return [
             I.decode_image(fr)
@@ -425,6 +445,9 @@ def _band_explode(
     shift would smear the sign bit across high bands."""
     assert 64 % bands == 0, "bands must divide 64"
     chunk = 64 // bands
+    # bands=1 (exact phash match) needs the full-width mask: (1<<64)-1
+    # overflows LongType, but -1 is the same bit pattern in two's complement
+    mask = (1 << chunk) - 1 if chunk < 64 else -1
     return df.select(
         F.col(id_col).alias(id_out),
         F.col("phash").alias(ph_out),
@@ -432,7 +455,7 @@ def _band_explode(
             F.array(
                 *[
                     F.shiftrightunsigned(F.col("phash"), b * chunk).bitwiseAND(
-                        F.lit((1 << chunk) - 1).cast("long")
+                        F.lit(mask).cast("long")
                     )
                     for b in range(bands)
                 ]

@@ -166,8 +166,16 @@ def robots_filter(
 
     The robots table is a small dim (one row per host) → broadcast hash join,
     no shuffle of the frontier.
+
+    Path-less URLs ('https://example.com') match as '/' per RFC 9309 §2.2.2:
+    parse_url PATH yields '' (not NULL) there, so a bare coalesce-to-'/'
+    never fires and 'Disallow: /' would fail to block the host's root — a
+    robots violation. The Python oracle crawler applies the same rule.
     """
-    path = F.coalesce(U.url_path(F.col("url")), F.lit("/"))
+    raw_path = U.url_path(F.col("url"))
+    path = F.when(
+        raw_path.isNull() | (raw_path == ""), F.lit("/")
+    ).otherwise(raw_path)
     joined = frontier.join(
         F.broadcast(robots.select("host", "disallow_prefixes")), "host", "left"
     ).withColumn(
@@ -190,6 +198,7 @@ def with_host_budget(
     robots: DataFrame,
     default_budget: int = DEFAULT_HOST_BUDGET,
     round_window_ms: int = DEFAULT_ROUND_WINDOW_MS,
+    rnd: int | None = None,
 ) -> DataFrame:
     """Attach the per-host round budget.
 
@@ -197,14 +206,34 @@ def with_host_budget(
     a host demanding a crawl delay can receive at most window/delay fetches
     per scheduling round, the batch-dataflow expression of per-host rate
     limiting (the reference only aspires to it — docs/dev-spec.md:1708).
+
+    A delay LONGER than the round window means less than one fetch per
+    round: with ``rnd`` (1-based round number) the host is fetched once
+    every ``ceil(delay / window)`` rounds and skipped otherwise — flooring
+    at 1 every round would over-fetch an N-window-delay host N-fold.
+    Without ``rnd`` (stateless uses: the contract queries) the legacy
+    once-per-round floor applies and is disclosed here.
     """
     base = F.coalesce(F.col("max_per_round"), F.lit(default_budget))
-    delay_cap = F.when(
-        F.col("crawl_delay_ms").isNotNull() & (F.col("crawl_delay_ms") > 0),
-        F.greatest(
-            (F.lit(round_window_ms) / F.col("crawl_delay_ms")).cast("int"), F.lit(1)
-        ),
+    delay = F.col("crawl_delay_ms")
+    has_delay = delay.isNotNull() & (delay > 0)
+    per_round = F.greatest(
+        (F.lit(round_window_ms) / delay).cast("int"), F.lit(1)
     )
+    if rnd is None:
+        delay_cap = F.when(has_delay, per_round)
+    else:
+        # exact integer ceil(delay / window); fetch on rounds 1, 1+p, 1+2p…
+        period = F.floor(
+            (delay + F.lit(round_window_ms - 1)) / F.lit(round_window_ms)
+        ).cast("long")
+        due = F.pmod(F.lit(int(rnd) - 1), period) == 0
+        delay_cap = F.when(
+            has_delay,
+            F.when(period <= 1, per_round).otherwise(
+                F.when(due, F.lit(1)).otherwise(F.lit(0))
+            ),
+        )
     return (
         frontier.join(
             F.broadcast(robots.select("host", "max_per_round", "crawl_delay_ms")),
@@ -256,9 +285,12 @@ def select_per_host(
     default_budget: int = DEFAULT_HOST_BUDGET,
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
     round_window_ms: int = DEFAULT_ROUND_WINDOW_MS,
+    rnd: int | None = None,
 ) -> DataFrame:
     """W4: ≤ budget rows per host, by (priority DESC, url_hash ASC), two-phase."""
-    budgeted = with_host_budget(frontier, robots, default_budget, round_window_ms)
+    budgeted = with_host_budget(
+        frontier, robots, default_budget, round_window_ms, rnd=rnd
+    )
     order = [F.col("priority").desc(), F.col("url_hash").asc()]
     return two_phase_topk(
         budgeted,

@@ -141,8 +141,25 @@ def lsh_assign(
     constants in the plan (md5-parity derived, see ``plane_sign``), so the
     whole assignment is a narrow whole-stage-codegen projection — no
     shuffle, no RNG, reproducible on any cluster size.
+
+    A vector whose length differs from ``dims`` fails LOUDLY: zip_with pads
+    the shorter side with NULL, the projection goes NULL, and every plane
+    bit silently reads 0 — all vectors land in bucket 0 and the bucketed
+    join degrades to an undisclosed all-pairs cross join. NULL vectors pass
+    through (their NULL norm drops them in the pair/top-k filters).
     """
-    qv = quantize(F.col(vec_col))
+    vec = F.col(vec_col)
+    checked = F.when(
+        vec.isNull() | (F.size(vec) == int(dims)), vec
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"lsh_assign: expected {int(dims)}-dim embedding, got "),
+                F.size(vec).cast("string"),
+            )
+        )
+    )
+    qv = quantize(checked)
     bucket = None
     for p in range(planes):
         signs = [plane_sign(p, d) for d in range(dims)]
@@ -249,17 +266,17 @@ def neardup_pairs(
     return (
         a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
         .withColumn(
-            "cosine",
-            F.round(
-                F.when(
-                    (F.col("na_") > 0) & (F.col("nb_") > 0),
-                    dot_q(F.col("va"), F.col("vb")).cast("double") / F.col("na_") / F.col("nb_"),
-                ),
-                4,
+            "__cos",
+            # threshold on the EXACT cosine; rounding is display-only in the
+            # output projection — round-then-compare would admit pairs whose
+            # true cosine is just below τ (0.94996 rounds to 0.9500)
+            F.when(
+                (F.col("na_") > 0) & (F.col("nb_") > 0),
+                dot_q(F.col("va"), F.col("vb")).cast("double") / F.col("na_") / F.col("nb_"),
             ),
         )
-        .filter(F.col("cosine").isNotNull() & (F.col("cosine") >= threshold))
-        .select("id_a", "id_b", "cosine")
+        .filter(F.col("__cos").isNotNull() & (F.col("__cos") >= threshold))
+        .select("id_a", "id_b", F.round(F.col("__cos"), 4).alias("cosine"))
     )
 
 
@@ -650,8 +667,13 @@ def cosine_topk_numpy(
     import pandas as pd
     from pyspark.sql import Window
 
+    # NULL embeddings drop here, BEFORE numpy: np.array over a list
+    # containing None raises 'inhomogeneous shape' inside the worker, where
+    # cosine_topk's column path just filters the NULL cosine — the two
+    # paths' documented equal-output contract includes null rows
     qrows = (
         corpus.filter(F.col(id_col) < n_queries)
+        .filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("qid"), quantize(F.col(vec_col)).alias("qv"))
         .collect()
     )
@@ -659,7 +681,7 @@ def cosine_topk_numpy(
     qmat = np.array([r["qv"] for r in qrows], dtype=np.float64)
     qnorm = np.sqrt((qmat * qmat).sum(axis=1))
 
-    quantized = corpus.select(
+    quantized = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
     )
 

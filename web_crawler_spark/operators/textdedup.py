@@ -780,7 +780,12 @@ def line_dedupe(
     """
     lines = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        # \r?\n: CRLF documents must not leave a \r on every line — the
+        # boiler keys would never match their LF twins and a blank CRLF
+        # line would survive as "\r" (trim strips only the space char).
+        # Bare-CR (pre-OSX Mac) endings are out of scope, matching the
+        # SQL twin's identical pattern.
+        F.posexplode(F.split(F.col(text_col), r"\r?\n")).alias("pos", "line"),
     )
     boiler = (
         lines.filter(F.trim("line") != "")
@@ -810,7 +815,7 @@ def line_dedupe(
     totals = df.select(
         F.col(id_col).alias("doc_id"),
         F.when(F.col(text_col).isNull(), F.lit(0))
-        .otherwise(F.size(F.split(F.col(text_col), "\n")))
+        .otherwise(F.size(F.split(F.col(text_col), r"\r?\n")))
         .alias("n_total"),
     )
     return totals.join(rebuilt, "doc_id", "left").select(

@@ -326,7 +326,7 @@ def q_url_normalize(spark, sf_dir):
 SQL_URL_NORMALIZE = f"""
 WITH u AS (SELECT p_partkey, {_URL_EXPR} AS url FROM part)
 SELECT p_partkey,
-       regexp_replace(url, '#.*$', '') AS canonical,
+       regexp_replace(url, '(?s)#.*', '') AS canonical,
        regexp_extract(url, '^https?://([^/]+)', 1) AS host,
        regexp_replace(regexp_extract(url, '^https?://([^/]+)', 1), '\\.', '_', 'g')
          || '_' || regexp_extract(url, '^https?://[^/]+/([^/#]+)', 1) AS slug
@@ -901,10 +901,11 @@ def q_text_repetition(spark, sf_dir):
     )
 
 
-SQL_TEXT_REPETITION = """
+SQL_TEXT_REPETITION = r"""
 WITH l AS (
   SELECT doc_id,
-         list_filter(string_split(text, chr(10)), x -> length(trim(x)) > 0) AS ls
+         list_filter(regexp_split_to_array(text, '\r?\n'),
+                     x -> length(trim(x)) > 0) AS ls
   FROM documents),
 lf AS (
   SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
@@ -1016,7 +1017,7 @@ WITH wrapped AS (
   SELECT doc_id,
          regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g') AS text
   FROM documents),
-ls AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM wrapped),
+ls AS (SELECT doc_id, regexp_split_to_array(text, '\r?\n') AS a FROM wrapped),
 l AS (
   SELECT doc_id,
          unnest(generate_series(1, len(a))) AS pos,
@@ -1756,11 +1757,13 @@ buck AS (
   FROM proj GROUP BY 1),
 vb AS (SELECT v.vec_id, v.qv, b.bucket FROM v JOIN buck b USING (vec_id)),
 ndpairs AS (
-  SELECT id_a, id_b, cosine FROM (
+  -- threshold on the EXACT cosine (round is display-only), matching
+  -- similarity.neardup_pairs
+  SELECT id_a, id_b, ROUND(cos_exact, 4) AS cosine FROM (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND({_cos_sql('a.qv', 'b.qv')}, 4) AS cosine
+           {_cos_sql('a.qv', 'b.qv')} AS cos_exact
     FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-  WHERE cosine >= 0.4)"""
+  WHERE cos_exact >= 0.4)"""
 
 SQL_EMBEDDING_NEARDUP = f"""
 WITH {_NEARDUP_CTES}
@@ -1958,7 +1961,7 @@ l0 AS (
            i -> struct_pack(pos := i, raw := regexp_split_to_array(body, '\\r?\\n')[i]))) AS u
   FROM bodies),
 l AS (SELECT host, u.pos AS pos,
-             regexp_replace(regexp_replace(u.raw, '#.*$', ''), '^\\s+|\\s+$', '', 'g') AS ln
+             regexp_replace(regexp_replace(u.raw, '(?s)#.*', ''), '^\\s+|\\s+$', '', 'g') AS ln
       FROM l0),
 d AS (
   SELECT host, pos, ln, lower(ln) AS low,
@@ -2031,7 +2034,7 @@ WITH bodies AS (
 l AS (
   SELECT host,
          regexp_replace(regexp_replace(unnest(regexp_split_to_array(body, '\r?\n')),
-                                       '#.*$', ''),
+                                       '(?s)#.*', ''),
                         '^\s+|\s+$', '', 'g') AS ln
   FROM bodies),
 v AS (

@@ -643,6 +643,7 @@ class CrawlRun:
             cfg.default_host_budget,
             cfg.salt_buckets,
             cfg.round_window_ms,
+            rnd=rnd,  # hosts with crawl_delay > window fetch every Nth round
         ).localCheckpoint(eager=True)
         batch = assign_fetch_seq(selected).localCheckpoint(eager=True)
         fetched = self._simulate_fetch(batch).localCheckpoint(eager=True)

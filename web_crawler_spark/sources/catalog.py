@@ -22,14 +22,13 @@ becomes the catalog service's conditional-put.
 
 from __future__ import annotations
 
-import fcntl
 import json
 import os
 import re
 import shutil
 import uuid
 
-from .lake import SnapshotTable
+from .lake import SnapshotTable, file_lock
 
 _NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9_.-]*$")
 
@@ -54,18 +53,11 @@ class Catalog:
     # ------------------------------------------------------------- registry
 
     def _locked(self):
-        import contextlib
-
-        @contextlib.contextmanager
-        def held():
-            fd = os.open(self._lock_path, os.O_CREAT | os.O_RDWR, 0o644)
-            try:
-                fcntl.flock(fd, fcntl.LOCK_EX)
-                yield
-            finally:
-                os.close(fd)
-
-        return held()
+        # same deadline discipline as the table commit lock: a wedged
+        # holder surfaces as a loud TimeoutError, never an indefinite hang
+        return file_lock(
+            self._lock_path, what=f"the catalog lock of {self.root}"
+        )
 
     def _read_registry(self) -> dict:
         try:

@@ -67,7 +67,13 @@ def generate_site(
     for j in range(n_pages):
         if j > 0 and rng.rand() < neardup_rate:
             base = rng.randint(0, j)
-            image_ids.append(f"img_{base:08d}~d{j}")
+            # follow a picked variant to its base id: "img_X~dN" renders
+            # img_X's pixels, so a variant-of-variant keyed on the INDEX
+            # ("img_{base}~dj" when image_ids[base] is itself "img_X~dN")
+            # would render pixels that exist nowhere in the corpus and be
+            # phash-close to nothing — silently undershooting neardup_rate
+            base_id = image_ids[base].partition("~d")[0]
+            image_ids.append(f"{base_id}~d{j}")
         else:
             image_ids.append(f"img_{j:08d}")
 

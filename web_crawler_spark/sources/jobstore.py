@@ -10,8 +10,10 @@ update route. This module re-expresses that store as a **log-structured
 dimension table**:
 
 - every mutation appends ONE row version (driver-local parquet commit —
-  no Spark job, atomic with the snapshot manifest, concurrent-writer safe
-  via the table's commit lock);
+  no Spark job, atomic with the snapshot manifest); the whole
+  read-modify-write is serialized by a store-level mutation lock so
+  concurrent updates allocate distinct versions (the table's commit lock
+  alone only serializes the manifest swap);
 - current state is a DataFrame view resolving latest-version-per-id and
   dropping tombstones — the J2 "key lookup" shape, composable with any
   join (e.g. resolving a saved config for a scheduled run);
@@ -38,7 +40,9 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .lake import SnapshotTable
+import os
+
+from .lake import SnapshotTable, file_lock
 
 SAVED_JOB = StructType(
     [
@@ -56,12 +60,29 @@ SAVED_JOB = StructType(
 # reference SavedJob config surface (models.py:259-285), minus auth secrets'
 # plaintext caveat — stored opaque inside config_json
 _IMMUTABLE = {"saved_job_id", "created_at_ms", "version", "deleted"}
+# fields update() may set; "config" (the nested dict) is JSON-encoded here —
+# raw "config_json" is rejected so a non-JSON value can never be committed
+# (it would poison every later get()/find_by_name() with a decode error)
+_MUTABLE = {"name", "description", "config"}
 
 
 class SavedJobStore:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.table = SnapshotTable(path)
+
+    def _mutation_lock(self):
+        """Serializes each mutation's read-modify-write: per-id version
+        numbers are previous+1, so two concurrent update()s reading the same
+        ``_latest`` would both commit the same version and make current()'s
+        latest-wins resolution nondeterministic. The table's commit lock
+        only serializes the manifest swap, not the read — this store-level
+        lock (a separate file, so the nested commit lock doesn't self-block)
+        covers the whole RMW."""
+        return file_lock(
+            os.path.join(self.table.path, "_joblock"),
+            what=f"the mutation lock of {self.table.path}",
+        )
 
     # -- views -------------------------------------------------------------
 
@@ -136,7 +157,10 @@ class SavedJobStore:
             "version": 1,
             "deleted": False,
         }
-        self.table.append_local([row], SAVED_JOB, meta={"job_op": f"create:{jid}"})
+        with self._mutation_lock():
+            self.table.append_local(
+                [row], SAVED_JOB, meta={"job_op": f"create:{jid}"}
+            )
         return self._row_dict(row)
 
     def _latest(self, saved_job_id: str) -> dict | None:
@@ -158,22 +182,35 @@ class SavedJobStore:
         immutable; returns None for an unknown or deleted id. ``config``
         (the nested dict) replaces wholesale, matching the reference's
         setattr-per-field behavior at its flat level."""
-        prev = self._latest(saved_job_id)
-        if prev is None or prev["deleted"]:
-            return None
-        row = dict(prev)
-        for k, v in changes.items():
-            if k in _IMMUTABLE:
-                continue
-            if k == "config":
-                row["config_json"] = json.dumps(v or {}, sort_keys=True)
-            elif k in row:
-                row[k] = v
-        row["updated_at_ms"] = now_ms
-        row["version"] = prev["version"] + 1
-        self.table.append_local(
-            [row], SAVED_JOB, meta={"job_op": f"update:{saved_job_id}:{row['version']}"}
-        )
+        # validate BEFORE taking the lock or committing anything: a raw
+        # config_json (or a typo'd field) must fail loudly here, not land
+        # in the log where a non-JSON value poisons every later read
+        unknown = set(changes) - _MUTABLE - _IMMUTABLE
+        if unknown:
+            raise ValueError(
+                f"update() accepts {sorted(_MUTABLE)} (immutable fields are "
+                f"ignored); got unknown/raw field(s) {sorted(unknown)} — pass "
+                f"the nested dict as 'config', never 'config_json'"
+            )
+        with self._mutation_lock():
+            prev = self._latest(saved_job_id)
+            if prev is None or prev["deleted"]:
+                return None
+            row = dict(prev)
+            for k, v in changes.items():
+                if k in _IMMUTABLE:
+                    continue
+                if k == "config":
+                    row["config_json"] = json.dumps(v or {}, sort_keys=True)
+                else:
+                    row[k] = v
+            row["updated_at_ms"] = now_ms
+            row["version"] = prev["version"] + 1
+            self.table.append_local(
+                [row],
+                SAVED_JOB,
+                meta={"job_op": f"update:{saved_job_id}:{row['version']}"},
+            )
         return self._row_dict(row)
 
     def rename(
@@ -185,16 +222,17 @@ class SavedJobStore:
 
     def delete(self, saved_job_id: str, *, now_ms: int = 0) -> bool:
         """models.py:386-392 — tombstone append; False for unknown ids."""
-        prev = self._latest(saved_job_id)
-        if prev is None or prev["deleted"]:
-            return False
-        row = dict(prev)
-        row["deleted"] = True
-        row["updated_at_ms"] = now_ms
-        row["version"] = prev["version"] + 1
-        self.table.append_local(
-            [row], SAVED_JOB, meta={"job_op": f"delete:{saved_job_id}"}
-        )
+        with self._mutation_lock():
+            prev = self._latest(saved_job_id)
+            if prev is None or prev["deleted"]:
+                return False
+            row = dict(prev)
+            row["deleted"] = True
+            row["updated_at_ms"] = now_ms
+            row["version"] = prev["version"] + 1
+            self.table.append_local(
+                [row], SAVED_JOB, meta={"job_op": f"delete:{saved_job_id}"}
+            )
         return True
 
     # -- maintenance ---------------------------------------------------------

@@ -106,6 +106,48 @@ def _arrow_type(dt):
     raise TypeError(f"no arrow mapping for local commit of {dt}")
 
 
+class CommitConflictError(RuntimeError):
+    """A compare-and-swap commit found the table moved past the snapshot it
+    was prepared against (Iceberg's ValidationException analogue). The
+    prepared data dir has been cleaned up; re-read and retry."""
+
+
+_UNSET = object()
+
+
+def file_lock(lock_path: str, timeout_sec: float = 60.0, what: str | None = None):
+    """Exclusive flock with a loud deadline — the single-filesystem
+    concurrency primitive the whole lake layer builds on. The kernel
+    releases the lock on process death (no stale lockfiles); a holder that
+    cannot acquire within ``timeout_sec`` gets a TimeoutError instead of
+    blocking forever behind a wedged peer."""
+    import contextlib
+    import fcntl
+
+    @contextlib.contextmanager
+    def held():
+        fd = os.open(lock_path, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            deadline = time.time() + timeout_sec
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except BlockingIOError:
+                    if time.time() >= deadline:
+                        raise TimeoutError(
+                            f"could not acquire {what or lock_path} within "
+                            f"{timeout_sec}s — another holder is live (or "
+                            f"wedged); refusing to race"
+                        ) from None
+                    time.sleep(0.02)
+            yield
+        finally:
+            os.close(fd)  # closing drops the flock
+
+    return held()
+
+
 class SnapshotTable:
     def __init__(self, path: str, stats_cols: list[str] | None = None):
         self.path = path
@@ -291,39 +333,14 @@ class SnapshotTable:
         writer re-reads the CURRENT snapshot as its parent, so two
         interleaved writers serialize: the second commits on top of the
         first instead of silently last-write-winning the ``_current`` swap.
-        The kernel releases the lock on process death (no stale lockfiles).
-        A writer that cannot get the lock within ``timeout_sec`` fails
-        LOUDLY instead of corrupting the chain. On an object store you'd
-        swap this for the catalog's conditional-put/CAS — this is the
-        single-filesystem stand-in for exactly that."""
-        import contextlib
-        import fcntl
-
-        @contextlib.contextmanager
-        def held():
-            fd = os.open(
-                os.path.join(self.path, "_lock"), os.O_CREAT | os.O_RDWR, 0o644
-            )
-            try:
-                deadline = time.time() + timeout_sec
-                while True:
-                    try:
-                        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-                        break
-                    except BlockingIOError:
-                        if time.time() >= deadline:
-                            raise TimeoutError(
-                                f"could not acquire the commit lock of "
-                                f"{self.path} within {timeout_sec}s — another "
-                                f"writer is live (or wedged); refusing to "
-                                f"race the snapshot chain"
-                            ) from None
-                        time.sleep(0.02)
-                yield
-            finally:
-                os.close(fd)  # closing drops the flock
-
-        return held()
+        On an object store you'd swap this for the catalog's
+        conditional-put/CAS — this is the single-filesystem stand-in for
+        exactly that."""
+        return file_lock(
+            os.path.join(self.path, "_lock"),
+            timeout_sec=timeout_sec,
+            what=f"the commit lock of {self.path}",
+        )
 
     def _finish_commit(
         self,
@@ -332,14 +349,33 @@ class SnapshotTable:
         meta: dict | None,
         stats_entry: dict | None,
         schema_entry: list[list[str]] | None = None,
+        expected_parent=_UNSET,
     ) -> int:
         """The metadata half of a commit, shared by the Spark and
         driver-local data paths: under the commit lock, chain onto the
         CURRENT snapshot, write the manifest (O_EXCL — an id collision with
         a rogue un-locked writer fails loudly rather than overwriting), and
-        swap ``_current``."""
+        swap ``_current``.
+
+        ``expected_parent`` (CAS): refuse to commit — cleaning up the
+        prepared data dir — unless the current snapshot still equals it.
+        Maintenance rewrites (compact) need this: they replace the WHOLE
+        file list, so an append that landed after they scanned would be
+        silently erased by an unconditional swap."""
         with self._commit_lock():
             parent = self.current_snapshot_id()
+            if expected_parent is not _UNSET and parent != expected_parent:
+                import shutil
+
+                shutil.rmtree(
+                    os.path.join(self._data_dir, commit_dir), ignore_errors=True
+                )
+                self._clear_inflight(commit_dir)
+                raise CommitConflictError(
+                    f"{self.path}: prepared against snapshot "
+                    f"{expected_parent!r} but current is {parent!r} — a "
+                    f"concurrent commit landed; re-read and retry"
+                )
             # ids are allocated past the highest EXISTING snapshot, not
             # parent+1: after a rollback the next commit must not overwrite
             # the abandoned snapshot's manifest (snapshot ids are immutable;
@@ -396,7 +432,9 @@ class SnapshotTable:
             self._clear_inflight(commit_dir)
             return new_id
 
-    def _commit(self, df: DataFrame, op: str, meta: dict | None = None) -> int:
+    def _commit(
+        self, df: DataFrame, op: str, meta: dict | None = None, expected_parent=_UNSET
+    ) -> int:
         # data files land OUTSIDE the lock (the expensive distributed write
         # must not serialize writers); only the metadata swap is critical.
         # The dir name is id-free so it needs no rename when the id is
@@ -411,7 +449,10 @@ class SnapshotTable:
         schema_entry = [
             [f.name, f.dataType.simpleString()] for f in df.schema.fields
         ]
-        return self._finish_commit(commit_dir, op, meta, stats_entry, schema_entry)
+        return self._finish_commit(
+            commit_dir, op, meta, stats_entry, schema_entry,
+            expected_parent=expected_parent,
+        )
 
     def _commit_local(
         self,
@@ -549,9 +590,17 @@ class SnapshotTable:
         disjoint (coalescing merges only ADJACENT range partitions), but on
         tiny tables it may collapse to one file, so maintenance paths that
         rely on post-compaction pruning pass an explicit count.
+        Concurrency: the rewrite scans a PINNED base snapshot and commits
+        with a compare-and-swap on it — an append landing between the scan
+        and the swap (e.g. a streaming ingest micro-batch, whose rows AND
+        idempotence marker would otherwise be silently erased by the
+        unconditional overwrite) raises ``CommitConflictError`` instead;
+        the caller re-runs compaction against the new current snapshot.
+
         Returns the new snapshot id."""
+        base_sid = self.current_snapshot_id()
         carried: dict[str, set] = {}
-        sid = self.current_snapshot_id()
+        sid = base_sid
         while sid is not None:
             try:
                 m = self._manifest(sid)
@@ -570,7 +619,7 @@ class SnapshotTable:
         meta: dict = {"compaction": True}
         if carried:
             meta["carried_meta"] = {k: sorted(vs) for k, vs in carried.items()}
-        df = self.read(spark)
+        df = self.read(spark, snapshot_id=base_sid)
         sort_cols = [c for c in self.stats_cols if c in df.columns]
         if sort_cols:
             if target_files is not None:
@@ -578,7 +627,7 @@ class SnapshotTable:
             else:
                 df = df.repartitionByRange(*sort_cols)
             df = df.sortWithinPartitions(*sort_cols)
-        return self.overwrite(df, meta=meta)
+        return self._commit(df, "overwrite", meta=meta, expected_parent=base_sid)
 
     def expire_snapshots(
         self, keep_last: int = 1, in_flight_grace_s: float = 6 * 3600.0
@@ -703,14 +752,19 @@ class SnapshotTable:
         self,
         snapshot_id: int | None = None,
         prune: dict[str, tuple] | None = None,
+        manifest: dict | None = None,
     ) -> list[str]:
         """Commit dirs of a snapshot, minus those whose recorded min/max
         stats prove they cannot contain a row with ``col`` in [lo, hi]
-        (inclusive). Dirs without stats are kept (pruning never guesses)."""
+        (inclusive). Dirs without stats are kept (pruning never guesses).
+        ``manifest`` lets callers that already parsed the snapshot's
+        manifest (read() parses it once and threads it through the whole
+        scan) skip a re-parse — on a long crawl the manifest is
+        O(commits)-sized JSON and the read path is hot."""
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
         if sid is None:
             return []
-        m = self._manifest(sid)
+        m = manifest if manifest is not None else self._manifest(sid)
         dirs = list(m["files"])
         if not prune:
             return dirs
@@ -745,6 +799,7 @@ class SnapshotTable:
         self,
         snapshot_id: int | None = None,
         prune: dict[str, tuple] | None = None,
+        manifest: dict | None = None,
     ) -> tuple[list[str], list[str]]:
         """(reader paths, kept commit dirs) for a pruned scan. On top of the
         dir-level pruning of ``data_dirs``, commits that recorded per-FILE
@@ -755,10 +810,11 @@ class SnapshotTable:
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
         if sid is None:
             return [], []
-        dirs = self.data_dirs(sid, prune)
+        m = manifest if manifest is not None else self._manifest(sid)
+        dirs = self.data_dirs(sid, prune, manifest=m)
         if not prune:
             return [os.path.join(self._data_dir, d) for d in dirs], dirs
-        stats = self._manifest(sid).get("stats", {})
+        stats = m.get("stats", {})
         paths: list[str] = []
         kept_dirs: list[str] = []
         for d in dirs:
@@ -892,11 +948,12 @@ class SnapshotTable:
             if schema is None:
                 raise ValueError(f"empty table {self.path} needs an explicit schema")
             return spark.createDataFrame([], schema)
-        paths, kept_dirs = self.scan_paths(sid, prune)
+        m = self._manifest(sid)  # parsed ONCE per read, threaded through
+        paths, kept_dirs = self.scan_paths(sid, prune, manifest=m)
         if not paths:
             if schema is None:
                 raise ValueError(
                     f"fully pruned read of {self.path} needs an explicit schema"
                 )
             return spark.createDataFrame([], schema)
-        return self._read_paths(spark, paths, kept_dirs, self._manifest(sid))
+        return self._read_paths(spark, paths, kept_dirs, m)
