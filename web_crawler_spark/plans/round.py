@@ -400,10 +400,32 @@ class CrawlRun:
         edge derivation applies EXACTLY the discovery rules (_discover):
         skip-list before canonicalization, fragment stripping per config,
         validity filter — so ranked nodes are the URLs the crawl can reach,
-        and the pure-Python oracle derives the identical integer ranks."""
-        if self._rank_df is None:
-            from ..operators.graph import pagerank
+        and the pure-Python oracle derives the identical integer ranks.
 
+        Ranks persist in a ``RankIndex`` SnapshotTable under run_dir keyed
+        by (iters, links fingerprint) — a RESUMED run (new process, same
+        run_dir, same fixture) loads the table instead of replaying the
+        canonicalize UDF over every edge plus all rank iterations
+        (VERDICT r3 #3). The fingerprint is one xxhash64 aggregation over
+        the raw links columns — cheap relative to the rank pass, and it
+        invalidates the index if a different links fixture reuses the
+        run_dir. PageRank is integer-exact, so loaded == rebuilt and the
+        oracle crawler's replayed ranks still match bit-for-bit."""
+        if self._rank_df is None:
+            from ..operators.graph import RankIndex
+
+            # NOTE: these edge/rank jobs derive from the caller-session
+            # links frame, so they plan OUTSIDE _ROUND_CONFS — correct by
+            # intent: the graph pass is a real data job that wants default
+            # parallelism-first coalescing, not the tiny-stage round flips.
+            # decimal(38,0) sum: xxhash64 spans the full long range, so a
+            # long sum overflows under ANSI; 10^10 rows × 2^63 still fits
+            # in 38 digits
+            fp = self.links.agg(
+                F.sum(F.xxhash64("src_url", "href").cast("decimal(38,0)")).alias("h"),
+                F.count("*").alias("n"),
+            ).collect()[0]
+            corpus_key = f"links:{fp['h']}:{fp['n']}"
             kept = self.links.filter(~U.is_skippable_href(F.col("href")))
             canon = kept.withColumn(
                 "child_url",
@@ -415,19 +437,16 @@ class CrawlRun:
             edges = canon.select(
                 U.url_hash(F.col("src_url")).alias("src"),
                 U.url_hash(F.col("child_url")).alias("dst"),
+            )  # lazy: never executed when the saved index matches
+            idx = RankIndex.load_or_build(
+                SnapshotTable(os.path.join(self.run_dir, "ranks")),
+                edges,
+                iters=self.config.pagerank_iters,
+                corpus_key=corpus_key,
             )
-            # NOTE: these edge/rank jobs derive from the caller-session
-            # links frame, so they plan OUTSIDE _ROUND_CONFS — correct by
-            # intent: the graph pass is a real data job that wants default
-            # parallelism-first coalescing, not the tiny-stage round flips.
-            ranked = pagerank(edges, iters=self.config.pagerank_iters).select(
+            self._rank_df = idx.ranks(self.spark).select(
                 F.col("node").alias("url_hash"), "rank_int"
             )
-            self._rank_df = ranked.localCheckpoint(eager=True)
-            # _rank_df is now self-contained; free pagerank's final-iterate
-            # checkpoint that ``ranked`` still projects over (a LogicalRDD
-            # leaf under the projection, owned here only — hence deep)
-            _release(ranked, deep=True)
         return self._rank_df
 
     # AQE coalescing for ROUND jobs only: a scheduling round is dozens of
