@@ -38,7 +38,9 @@ def timed(name: str, fn):
 
 def main() -> None:
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    from pyspark.sql import DataFrame
+    # Spark 4: pyspark.sql.DataFrame is the abstract umbrella; instances
+    # are classic.dataframe.DataFrame — patch the concrete class
+    from pyspark.sql.classic.dataframe import DataFrame
 
     from web_crawler_spark.session import get_spark
     from web_crawler_spark.sources import lake
