@@ -262,3 +262,69 @@ def test_priority_aging_roundtrip(spark, fixture_dir, tmp_path_factory):
     for g, w in zip(got, want):
         assert g == w, f"engine={g}\noracle={w}"
     run.close()
+
+
+def test_seeds_with_auth_roundtrip(spark, tmp_path):
+    """VERDICT r3 #5: credentials ride the full pipeline — CSV auth columns
+    parse into typed maps (reference csv_processor.py:89-102), frontier rows
+    carry them, the fetch log records what each fetch was issued with
+    (password excluded), and discovered children inherit the parent's
+    credentials (the reference's one-WebFetcher-per-request session model,
+    tasks.py:57)."""
+    import pandas as pd
+
+    from web_crawler_spark.plans.round import CrawlConfig, CrawlRun
+    from web_crawler_spark.schemas import FETCH_LOG
+    from web_crawler_spark.sources.fixtures import generate_site, load_fixture
+    from web_crawler_spark.sources.seeds import read_seeds
+
+    fdir = str(tmp_path / "site")
+    generate_site(fdir, n_pages=40, n_hosts=4, n_seeds=2)
+    orig = pd.read_csv(f"{fdir}/seeds.csv")
+    seed_urls = [u for u in orig.url if isinstance(u, str) and u.startswith("http")][:2]
+    csv_path = tmp_path / "seeds_auth.csv"
+    csv_path.write_text(
+        "url,mode,auth_enabled,auth_type,cookies,auth_headers,"
+        "basic_auth_username,basic_auth_password\n"
+        f'{seed_urls[0]},content,yes,cookies,"sid=abc; t=1",,,\n'
+        f"{seed_urls[1]},content,1,basic,,,alice,s3cret\n"
+    )
+    seeds = read_seeds(spark, str(csv_path))
+    run = CrawlRun(
+        spark,
+        str(tmp_path / "run"),
+        urls=load_fixture(spark, fdir, "urls"),
+        links=load_fixture(spark, fdir, "links"),
+        pages=load_fixture(spark, fdir, "pages"),
+        robots=load_fixture(spark, fdir, "robots"),
+        config=CrawlConfig(max_rounds=2),
+    )
+    run.start(seeds)
+    run.run()
+    log = {
+        r["url"]: r for r in run.fetch_log_t.read(spark, schema=FETCH_LOG).collect()
+    }
+    assert log[seed_urls[0]]["cookies"] == {"sid": "abc", "t": "1"}
+    assert log[seed_urls[0]]["basic_auth_user"] is None
+    assert log[seed_urls[1]]["basic_auth_user"] == "alice"
+    assert log[seed_urls[1]]["cookies"] is None
+    # the password never reaches the log (credentials stay out of audit
+    # trails; the username identifies the principal)
+    assert "basic_auth_pass" not in log[seed_urls[1]].asDict()
+    # discovered children inherited the parent's credentials
+    children = [
+        r
+        for r in log.values()
+        if r["round"] >= 2 and r["url"] not in set(seed_urls)
+    ]
+    assert children, "fixture crawl discovered no children"
+    for c in children:
+        assert (
+            c["cookies"] == {"sid": "abc", "t": "1"}
+            or c["basic_auth_user"] == "alice"
+            or (c["cookies"] is None and c["basic_auth_user"] is None)
+        )
+    assert any(
+        c["cookies"] == {"sid": "abc", "t": "1"} or c["basic_auth_user"] == "alice"
+        for c in children
+    ), "no child inherited parent auth"

@@ -189,11 +189,32 @@ class CrawlRun:
     # admission (reference: routes.py:108-241 + tasks.py:488-504)
     # ------------------------------------------------------------------
 
+    # frontier credential columns (reference CrawlRequest models.py:31-34):
+    # carried row-by-row from seeds through scheduling to the fetch batch
+    _AUTH_COLS = {
+        "cookies": "map<string,string>",
+        "auth_headers": "map<string,string>",
+        "basic_auth_user": "string",
+        "basic_auth_pass": "string",
+    }
+
+    @classmethod
+    def _with_auth_cols(cls, df: DataFrame) -> DataFrame:
+        """Fill any missing credential columns with typed NULLs — accepts
+        ad-hoc seed frames and pre-upgrade frontier tables (legacy commits
+        lack the columns; parquet mergeSchema surfaces them only once a
+        post-upgrade commit exists)."""
+        for c, t in cls._AUTH_COLS.items():
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast(t))
+        return df
+
     def start(self, seeds: DataFrame) -> None:
         """Admit a seed list: valid rows become the round-0 frontier in strict
         FIFO priority; invalid rows are logged as failed validation rows
         (never abort the batch — tasks.py:496-504)."""
         w = Window.orderBy("row_index")
+        seeds = self._with_auth_cols(seeds)
         seeds = seeds.withColumn(
             "url", U.remove_anchors(F.col("url")) if self.config.exclude_anchors else F.col("url")
         )
@@ -233,6 +254,9 @@ class CrawlRun:
                 F.lit(None).cast("int").alias("word_count"),
                 F.lit(None).cast("int").alias("char_count"),
                 F.lit(None).cast("int").alias("payload_len"),
+                "cookies",
+                "auth_headers",
+                "basic_auth_user",
             )
         )
         self.fetch_log_t.overwrite(inv_log)
@@ -368,9 +392,13 @@ class CrawlRun:
         reference's extraction semantics: skip-list before normalization
         (link_extractor.py:100-105), first-occurrence-wins per page
         (:109-113), fragment-stripped dedupe when exclude_anchors (:157-169)."""
-        raw = fetched_ok.select("url", "fetch_seq", "depth").join(
-            self.links, fetched_ok["url"] == self.links["src_url"], "inner"
-        )
+        raw = fetched_ok.select(
+            "url", "fetch_seq", "depth",
+            # children inherit the parent's credentials — the reference's
+            # session model (one WebFetcher per request fetches the page
+            # and everything discovered on it, tasks.py:57)
+            "cookies", "auth_headers", "basic_auth_user", "basic_auth_pass",
+        ).join(self.links, fetched_ok["url"] == self.links["src_url"], "inner")
         kept = raw.filter(~U.is_skippable_href(F.col("href")))
         canon = kept.withColumn(
             "child_url",
@@ -393,6 +421,10 @@ class CrawlRun:
             F.lit(0).alias("attempts"),
             F.lit(next_round).alias("discovered_round"),
             F.col("src_url").alias("parent_url"),
+            "cookies",
+            "auth_headers",
+            "basic_auth_user",
+            "basic_auth_pass",
         )
 
     def _pagerank_scores(self) -> DataFrame:
@@ -502,7 +534,9 @@ class CrawlRun:
     def _run_round_body(self, checkpoint_extra: dict | None = None) -> dict:
         cfg = self.config
         rnd = self.round + 1
-        frontier = self.frontier_t.read(self.spark, schema=FRONTIER)
+        frontier = self._with_auth_cols(
+            self.frontier_t.read(self.spark, schema=FRONTIER)
+        )
 
         # depth-aware priority: rows discovered later carry their own depth.
         # In pagerank mode (VERDICT r2 #6) the link-graph rank is blended
@@ -701,6 +735,9 @@ class CrawlRun:
             F.lit(None).cast("int").alias("word_count"),
             F.lit(None).cast("int").alias("char_count"),
             F.lit(None).cast("int").alias("payload_len"),
+            "cookies",
+            "auth_headers",
+            "basic_auth_user",
         )
         all_log = log_rows.unionByName(blocked_log)
         if trapped is not None:
@@ -722,6 +759,9 @@ class CrawlRun:
                 F.lit(None).cast("int").alias("word_count"),
                 F.lit(None).cast("int").alias("char_count"),
                 F.lit(None).cast("int").alias("payload_len"),
+                "cookies",
+                "auth_headers",
+                "basic_auth_user",
             )
             all_log = all_log.unionByName(trapped_log)
 
@@ -749,6 +789,10 @@ class CrawlRun:
             (F.col("attempts") + 1).alias("attempts"),
             "discovered_round",
             "parent_url",
+            "cookies",
+            "auth_headers",
+            "basic_auth_user",
+            "basic_auth_pass",
         )
 
         # ---- discovery (T3)

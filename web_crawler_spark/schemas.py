@@ -80,6 +80,14 @@ SEEDS_RAW = StructType(
         StructField("download_images", StringType(), True),
         StructField("link_type", StringType(), True),
         StructField("exclude_anchors", StringType(), True),
+        # per-row authentication (csv_processor.py:14-15, models.py:31-34):
+        # auth_type selects exactly ONE channel when auth_enabled is truthy
+        StructField("auth_enabled", StringType(), True),
+        StructField("auth_type", StringType(), True),
+        StructField("cookies", StringType(), True),
+        StructField("auth_headers", StringType(), True),
+        StructField("basic_auth_username", StringType(), True),
+        StructField("basic_auth_password", StringType(), True),
     ]
 )
 
@@ -110,6 +118,15 @@ FRONTIER = StructType(
         StructField("attempts", IntegerType(), False),
         StructField("discovered_round", IntegerType(), False),
         StructField("parent_url", StringType(), True),
+        # authentication carried per row (reference CrawlRequest,
+        # models.py:31-34; assembly tasks.py:505-555): discovered children
+        # inherit the parent's credentials — the reference's session model,
+        # where one WebFetcher (cookies/headers bound at construction,
+        # tasks.py:57) fetches the page and everything found on it
+        StructField("cookies", MapType(StringType(), StringType()), True),
+        StructField("auth_headers", MapType(StringType(), StringType()), True),
+        StructField("basic_auth_user", StringType(), True),
+        StructField("basic_auth_pass", StringType(), True),
     ]
 )
 
@@ -140,6 +157,14 @@ FETCH_LOG = StructType(
         # retained per row for debugging — the byte length of the payload
         # (NULL when nothing was fetched).
         StructField("payload_len", IntegerType(), True),
+        # authentication the fetch was issued with (tasks.py:42-56 logs the
+        # cookie/header KEYS; the full maps are recorded here so a replay
+        # can reconstruct the request). The basic-auth PASSWORD is
+        # deliberately NOT logged — credentials don't belong in an audit
+        # log; the username identifies the principal.
+        StructField("cookies", MapType(StringType(), StringType()), True),
+        StructField("auth_headers", MapType(StringType(), StringType()), True),
+        StructField("basic_auth_user", StringType(), True),
     ]
 )
 

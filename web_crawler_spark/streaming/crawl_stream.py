@@ -167,6 +167,11 @@ def ingest_gated_candidates(
                 F.lit(0).alias("attempts"),
                 F.lit(0).alias("discovered_round"),
                 F.lit(None).cast("string").alias("parent_url"),
+                # gated candidates carry no credentials (FRONTIER schema)
+                F.lit(None).cast("map<string,string>").alias("cookies"),
+                F.lit(None).cast("map<string,string>").alias("auth_headers"),
+                F.lit(None).cast("string").alias("basic_auth_user"),
+                F.lit(None).cast("string").alias("basic_auth_pass"),
             )
             .select(*_FRONTIER_COLS)
         )

@@ -81,8 +81,21 @@ def _admit_batch(
         .withColumn("attempts", F.lit(0))
         .withColumn("discovered_round", F.lit(0))
         .withColumn("parent_url", F.lit(None).cast("string"))
-        .select(*_FRONTIER_COLS)
     )
+    # credential columns (FRONTIER schema): streamed seed rows carry the
+    # same raw CSV auth columns as the batch path (SEEDS_RAW) — parse them
+    # with the identical auth_enabled/auth_type gate so stream-admitted
+    # seeds authenticate exactly like read_seeds ones; ad-hoc batches
+    # without the raw columns get string NULLs first (gate yields NULLs)
+    from ..sources.seeds import _auth_columns
+
+    for c in (
+        "auth_enabled", "auth_type", "cookies", "auth_headers",
+        "basic_auth_username", "basic_auth_password",
+    ):
+        if c not in rows.columns:
+            rows = rows.withColumn(c, F.lit(None).cast("string"))
+    rows = _auth_columns(rows, None).select(*_FRONTIER_COLS)
     frontier_table.append(rows, meta=meta)
 
 
