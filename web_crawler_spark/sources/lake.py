@@ -148,10 +148,121 @@ def file_lock(lock_path: str, timeout_sec: float = 60.0, what: str | None = None
     return held()
 
 
+# ---------------------------------------------------------------------------
+# commit leases — the pluggable multi-writer protocol (VERDICT r3 #6).
+#
+# The commit critical section (re-read parent → write manifest → swap
+# _current) must be serialized per table. On one filesystem flock is the
+# right primitive (kernel-released on death, no stale state). On an object
+# store there IS no flock — the protocol becomes a catalog-level lease or
+# conditional-put (Iceberg: the catalog's atomic swap; DynamoDB:
+# attribute_not_exists puts; Nessie: commit-on-expected-hash). The lease
+# interface below keeps flock as the default and lets a deployment inject
+# the catalog implementation without touching any commit code; the CAS
+# conflict detection (``expected_parent`` → CommitConflictError) is the
+# same on every backend because it runs INSIDE the held lease.
+# ---------------------------------------------------------------------------
+
+
+class FlockCommitLease:
+    """Default single-filesystem lease: exclusive flock on <table>/_lock."""
+
+    def __init__(self, table_path: str):
+        self._lock_path = os.path.join(table_path, "_lock")
+        self._what = f"the commit lock of {table_path}"
+
+    def acquire(self, timeout_sec: float = 60.0):
+        return file_lock(self._lock_path, timeout_sec=timeout_sec, what=self._what)
+
+
+class InMemoryLeaseCatalog:
+    """Models an external catalog's conditional-put lease API for tests and
+    docs: ``try_acquire`` succeeds iff no UNEXPIRED lease exists for the
+    table (the object-store analog of DynamoDB's attribute_not_exists put).
+    Leases carry a TTL so a crashed holder expires instead of wedging the
+    table forever — the property flock gets from the kernel for free and a
+    remote catalog must implement explicitly. Thread-safe; one instance
+    stands in for the shared catalog service."""
+
+    def __init__(self):
+        import threading
+
+        self._mu = threading.Lock()
+        self._leases: dict[str, tuple[str, float]] = {}  # table -> (owner, deadline)
+
+    def try_acquire(self, table_id: str, owner: str, ttl_sec: float) -> bool:
+        now = time.time()
+        with self._mu:
+            held = self._leases.get(table_id)
+            if held is not None and held[1] > now and held[0] != owner:
+                return False
+            self._leases[table_id] = (owner, now + ttl_sec)
+            return True
+
+    def release(self, table_id: str, owner: str) -> None:
+        with self._mu:
+            if self._leases.get(table_id, (None,))[0] == owner:
+                del self._leases[table_id]
+
+
+class CatalogCommitLease:
+    """Catalog-lease commit protocol: poll the catalog's conditional put
+    until acquired (or loudly time out), hold for the critical section,
+    release on exit. ``owner`` defaults to a per-instance uuid — what a
+    writer process/executor would use."""
+
+    def __init__(
+        self,
+        catalog,
+        table_id: str,
+        owner: str | None = None,
+        ttl_sec: float = 30.0,
+    ):
+        import uuid as _uuid
+
+        self.catalog = catalog
+        self.table_id = table_id
+        self.owner = owner or _uuid.uuid4().hex
+        self.ttl_sec = ttl_sec
+
+    def acquire(self, timeout_sec: float = 60.0):
+        import contextlib
+
+        @contextlib.contextmanager
+        def held():
+            deadline = time.time() + timeout_sec
+            while not self.catalog.try_acquire(
+                self.table_id, self.owner, self.ttl_sec
+            ):
+                if time.time() >= deadline:
+                    raise TimeoutError(
+                        f"could not acquire the catalog lease for "
+                        f"{self.table_id} within {timeout_sec}s — another "
+                        f"writer is live (or its lease has not expired); "
+                        f"refusing to race"
+                    )
+                time.sleep(0.02)
+            try:
+                yield
+            finally:
+                self.catalog.release(self.table_id, self.owner)
+
+        return held()
+
+
 class SnapshotTable:
-    def __init__(self, path: str, stats_cols: list[str] | None = None):
+    def __init__(
+        self,
+        path: str,
+        stats_cols: list[str] | None = None,
+        lease=None,
+    ):
         self.path = path
         self.stats_cols = list(stats_cols) if stats_cols else []
+        # the commit-serialization protocol (VERDICT r3 #6): flock locally;
+        # inject a CatalogCommitLease (or any object with .acquire) when the
+        # storage has no flock — object stores behind a shared catalog
+        self.lease = lease or FlockCommitLease(path)
         self._meta_cache: dict[str, tuple] = {}
         self._snap_dir = os.path.join(path, "snapshots")
         self._data_dir = os.path.join(path, "data")
@@ -328,19 +439,16 @@ class SnapshotTable:
         return {"n_rows": n_rows, "cols": agg, "files": per_file}
 
     def _commit_lock(self, timeout_sec: float = 60.0):
-        """Exclusive flock serializing the commit critical section — the
-        concurrent-writer protocol (VERDICT r2 #4). Inside the lock the
-        writer re-reads the CURRENT snapshot as its parent, so two
-        interleaved writers serialize: the second commits on top of the
-        first instead of silently last-write-winning the ``_current`` swap.
-        On an object store you'd swap this for the catalog's
-        conditional-put/CAS — this is the single-filesystem stand-in for
-        exactly that."""
-        return file_lock(
-            os.path.join(self.path, "_lock"),
-            timeout_sec=timeout_sec,
-            what=f"the commit lock of {self.path}",
-        )
+        """The lease serializing the commit critical section — the
+        concurrent-writer protocol (VERDICT r2 #4, pluggable per r3 #6).
+        Inside the held lease the writer re-reads the CURRENT snapshot as
+        its parent, so two interleaved writers serialize: the second commits
+        on top of the first instead of silently last-write-winning the
+        ``_current`` swap. Default backend is flock; on an object store
+        inject ``CatalogCommitLease`` — the CAS conflict path
+        (``expected_parent`` → CommitConflictError) is identical on every
+        backend because it runs inside the held lease."""
+        return self.lease.acquire(timeout_sec=timeout_sec)
 
     def _finish_commit(
         self,
