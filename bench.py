@@ -144,18 +144,19 @@ def frontier_throughput(spark, n_rows: int = 5_000_000) -> tuple[float, int]:
 
 def frontier_tiered_throughput(spark, n_rows: int = 5_000_000) -> tuple[float, int]:
     """The north-star round INCLUDING the membership tier: dedupe →
-    cogrouped Bloom probe (blobs-as-a-table, one blob per task — the 10^10
-    layout) → definite negatives skip the exact anti-join, positives are
-    confirmed exactly → skew-safe per-host top-k. Building the filter is
-    untimed setup: in production it persists across rounds (TableSeenTiers)
-    and is amortized over flush_every rounds; the measured cost is ONE
-    scheduling round. ``selected`` must equal the untiered round's — the
-    tier only moves work, never the answer (pinned in tests)."""
+    JVM-side Bloom probe (blobs-as-a-table of array<long> words, equi-joined
+    on pkey, k bit tests as column expressions in whole-stage codegen) →
+    definite negatives skip the exact anti-join, positives are confirmed
+    exactly → skew-safe per-host top-k. Building the filter is untimed
+    setup: in production it persists across rounds (TableSeenTiers) and is
+    amortized over flush_every rounds; the measured cost is ONE scheduling
+    round. ``selected`` must equal the untiered round's — the tier only
+    moves work, never the answer (pinned in tests)."""
     from web_crawler_spark.operators.bloom import (
-        BLOB_SCHEMA,
+        WORDS_SCHEMA,
         PartitionedBloom,
-        or_merge_blobs,
-        probe_cogrouped,
+        or_merge_words,
+        probe_words_joined,
     )
     from web_crawler_spark.operators.dedupe import anti_join_seen, first_wins
     from web_crawler_spark.operators.politeness import two_phase_topk
@@ -164,15 +165,15 @@ def frontier_tiered_throughput(spark, n_rows: int = 5_000_000) -> tuple[float, i
     bf = PartitionedBloom.sized_for(
         expected_keys=max(n_rows // 10, 1024), n_partitions=64
     )
-    empty = spark.createDataFrame([], schema=BLOB_SCHEMA)
+    empty = spark.createDataFrame([], schema=WORDS_SCHEMA)
     seen = seen.localCheckpoint(eager=True)
-    blobs = or_merge_blobs(
+    blobs = or_merge_words(
         seen, empty, m=bf.m, k=bf.k, p=bf.p
     ).localCheckpoint(eager=True)
 
     t0 = time.time()
     deduped = first_wins(frontier, "url_hash", [F.col("discovered_pos").asc()])
-    probed = probe_cogrouped(deduped, blobs, m=bf.m, k=bf.k, p=bf.p)
+    probed = probe_words_joined(deduped, blobs, m=bf.m, k=bf.k, p=bf.p)
     negatives = probed.filter(~F.col("might_contain")).drop("might_contain")
     positives = probed.filter(F.col("might_contain")).drop("might_contain")
     unseen = negatives.unionByName(anti_join_seen(positives, seen))

@@ -153,3 +153,103 @@ def test_cogrouped_probe_and_merge_match_broadcast(spark, hashes):
     for r in b:
         if int(r["url_hash"]) in inserted_set:
             assert r["might_contain"]
+
+
+def test_words_probe_jvm_matches_all_other_paths(spark, hashes):
+    """The JVM column-expression probe (words layout) == the cogrouped Arrow
+    probe == the driver probe, row for row — including the blobs→words
+    migration path and the empty-table (all definite negatives) case. Also
+    pins that the probe plan contains NO Python evaluation node."""
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.operators.bloom import (
+        BLOB_SCHEMA,
+        WORDS_SCHEMA,
+        blobs_to_words,
+        or_merge_blobs,
+        or_merge_words,
+        probe_cogrouped,
+        probe_words_joined,
+    )
+
+    bf = PartitionedBloom.sized_for(8000, n_partitions=8)
+    inserted = hashes[:8000]
+    cand_keys = np.concatenate([inserted[:2000], hashes[10000:16000]])
+    seen = spark.createDataFrame([(int(v),) for v in inserted], "url_hash long")
+    cand = spark.createDataFrame(
+        [(int(v), i) for i, v in enumerate(cand_keys)], "url_hash long, pos int"
+    )
+    empty_w = spark.createDataFrame([], schema=WORDS_SCHEMA)
+    empty_b = spark.createDataFrame([], schema=BLOB_SCHEMA)
+    words = or_merge_words(seen, empty_w, m=bf.m, k=bf.k, p=bf.p).localCheckpoint()
+    blobs = or_merge_blobs(seen, empty_b, m=bf.m, k=bf.k, p=bf.p).localCheckpoint()
+
+    jvm_df = probe_words_joined(cand, words, m=bf.m, k=bf.k, p=bf.p)
+    r_jvm = {r.url_hash: r.might_contain for r in jvm_df.collect()}
+    r_cog = {
+        r.url_hash: r.might_contain
+        for r in probe_cogrouped(cand, blobs, m=bf.m, k=bf.k, p=bf.p).collect()
+    }
+    bf.add_hashes(inserted)
+    r_drv = dict(zip(cand_keys.tolist(), bf.might_contain(cand_keys).tolist()))
+    r_mig = {
+        r.url_hash: r.might_contain
+        for r in probe_words_joined(
+            cand, blobs_to_words(blobs), m=bf.m, k=bf.k, p=bf.p
+        ).collect()
+    }
+    assert r_jvm == r_cog == r_drv == r_mig
+    assert all(r_jvm[int(v)] for v in inserted[:2000])  # no false negatives
+    # candidate columns pass through untouched
+    assert {f.name for f in jvm_df.schema.fields} == {"url_hash", "pos", "might_contain"}
+    # the whole point: zero Python in the probe plan
+    plan = jvm_df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan, f"python node {marker} in JVM probe plan"
+    # empty words table → every candidate is a definite negative
+    none = probe_words_joined(cand, empty_w, m=bf.m, k=bf.k, p=bf.p)
+    assert none.filter(F.col("might_contain")).count() == 0
+
+
+def test_tiers_checkpoint_family_mismatch_resets_safely(tmp_path):
+    """A tiers checkpoint written under a different bloom hash family must
+    not surface its bits (false negatives = exactness bug): the distributed
+    tier resets to empty-filter + watermark 0 (the exact hot slice then
+    covers everything); the driver tier fails loud."""
+    import pickle
+
+    from web_crawler_spark.operators.membership import (
+        DistributedSeenTiers,
+        SeenTiers,
+    )
+
+    dist = DistributedSeenTiers(expected_keys=1024, bloom_partitions=4)
+    dist.bloom.add_hashes(np.arange(100, dtype=np.int64))
+    dist.flushed_round = 7
+    p1 = str(tmp_path / "dist.pkl")
+    dist.dump(p1)
+    with open(p1, "rb") as f:
+        state = pickle.load(f)
+    assert state["family"]
+    state["family"] = "km0"  # simulate a pre-change checkpoint
+    with open(p1, "wb") as f:
+        pickle.dump(state, f)
+    loaded = DistributedSeenTiers.load(p1)
+    assert loaded.bloom.blobs == {}  # stale bits discarded
+    assert loaded.flushed_round == 0  # hot slice covers the whole seen set
+    # same-family load round-trips intact
+    dist.dump(p1)
+    same = DistributedSeenTiers.load(p1)
+    assert same.flushed_round == 7
+    assert same.bloom.might_contain(np.arange(100, dtype=np.int64)).all()
+
+    drv = SeenTiers(expected_keys=1024)
+    p2 = str(tmp_path / "drv.pkl")
+    drv.dump(p2)
+    with open(p2, "rb") as f:
+        state = pickle.load(f)
+    state["family"] = "km0"
+    with open(p2, "wb") as f:
+        pickle.dump(state, f)
+    with pytest.raises(ValueError, match="hash family"):
+        SeenTiers.load(p2)

@@ -101,7 +101,7 @@ def test_table_tier_equals_distributed(spark, fixture_dir, tmp_path_factory):
     blob bytes out of the driver (its pickled checkpoint stays tiny)."""
     import os
 
-    from web_crawler_spark.operators.bloom import BLOB_SCHEMA
+    from web_crawler_spark.operators.bloom import WORDS_SCHEMA
     from web_crawler_spark.operators.membership import TableSeenTiers
 
     r_dist, _ = _crawl(
@@ -124,7 +124,7 @@ def test_table_tier_equals_distributed(spark, fixture_dir, tmp_path_factory):
     assert any(m["rows_tier_positive"] > 0 for m in later)
     # flushes landed as blob rows in the snapshot table, and the tiers
     # checkpoint carries metadata only (sizing + watermark + sid — no blobs)
-    blobs = r_tbl.tiers.blob_table.read(spark, schema=BLOB_SCHEMA).collect()
+    blobs = r_tbl.tiers.blob_table.read(spark, schema=WORDS_SCHEMA).collect()
     assert len(blobs) > 0
     tf = r_tbl.checkpoint_state()["tiers_file"]
     assert os.path.getsize(tf) < 1024
@@ -134,7 +134,7 @@ def test_resume_rolls_back_table_tier_blobs(spark, fixture_dir, tmp_path_factory
     """Crash after an uncheckpointed blob-table commit: resume must roll the
     blob table back to the checkpointed snapshot and finish identically to
     an uninterrupted table-tier run."""
-    from web_crawler_spark.operators.bloom import BLOB_SCHEMA
+    from web_crawler_spark.operators.bloom import WORDS_SCHEMA
     from web_crawler_spark.operators.membership import TableSeenTiers
 
     d_full = str(tmp_path_factory.mktemp("tbl-full"))
@@ -160,7 +160,7 @@ def test_resume_rolls_back_table_tier_blobs(spark, fixture_dir, tmp_path_factory
     # crash mid-round-3 AFTER its flush committed but BEFORE the round
     # checkpoint: fake the partial flush with a poison blob commit
     run1.tiers.blob_table.overwrite_local(
-        [{"pkey": 0, "bits": b"\xff" * 16}], BLOB_SCHEMA
+        [{"pkey": 0, "words": [-1, -1]}], WORDS_SCHEMA
     )
     run2 = CrawlRun(spark, d_int, **kw)
     assert run2.resume() == 2

@@ -93,20 +93,43 @@ def xxh64_str(s: str, seed: int = SPARK_XXHASH_SEED) -> int:
 # Vectorized 64-bit mixers (numpy) — Bloom hash family / minhash permutations.
 # ---------------------------------------------------------------------------
 
-def split_u64(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Split signed-int64 hashes into two independent uint64 streams
-    (Kirsch–Mitzenmacher double hashing: g_i = h1 + i*h2)."""
+BLOOM_FAMILY = "xr1"  # xor-rotate family version tag (persisted filters
+# from a different family are discarded on load — mixed-family bits would
+# produce false NEGATIVES, which the exactness contract cannot absorb)
+
+
+def bloom_streams(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Split signed-int64 hashes into two uint64 streams for the Bloom
+    probe family g_i = h1 XOR rot64(h2, r_i).
+
+    Deliberately multiplication-free (xorshift64 13/7/17 for h2): every op
+    here — xor, logical shifts, rotate, unsigned mod — has a bit-identical
+    Spark SQL column expression even under ANSI mode (where a wrapping
+    64-bit multiply raises ARITHMETIC_OVERFLOW), so the distributed probe
+    can run entirely JVM-side in whole-stage codegen
+    (``bloom.probe_words_joined``) while this numpy twin backs the
+    driver/build paths and the oracles. The classic Kirsch–Mitzenmacher
+    h1 + i*h2 family needs wrapping adds/multiplies, which ANSI forbids."""
     u = h.astype(np.uint64)
-    h1 = u
-    # finalizer-style remix for the second stream
-    h2 = u.copy()
-    h2 ^= h2 >> np.uint64(33)
-    h2 = h2 * np.uint64(0xFF51AFD7ED558CCD)
-    h2 ^= h2 >> np.uint64(33)
-    h2 = h2 * np.uint64(0xC4CEB9FE1A85EC53)
-    h2 ^= h2 >> np.uint64(33)
-    h2 |= np.uint64(1)  # force odd so strides cover the table
-    return h1, h2
+    x = u ^ (u << np.uint64(13))
+    x = x ^ (x >> np.uint64(7))
+    h2 = x ^ (x << np.uint64(17))
+    return u, h2
+
+
+def bloom_rotations(k: int) -> list[int]:
+    """Rotation amounts r_i for the k probe functions (spread over [0,64))."""
+    return [(13 + 17 * i) % 64 for i in range(k)]
+
+
+def bloom_indices(h: np.ndarray, m: int, k: int):
+    """Yield the k bit-index arrays (int64 in [0, m)) for the given hashes —
+    the single numpy definition of the family's index math; the JVM
+    expression in ``bloom.probe_words_joined`` mirrors it term for term."""
+    h1, h2 = bloom_streams(h)
+    for r in bloom_rotations(k):
+        rot = h2 if r == 0 else (h2 << np.uint64(r)) | (h2 >> np.uint64(64 - r))
+        yield ((h1 ^ rot) % np.uint64(m)).astype(np.int64)
 
 
 def mix64(h: np.ndarray, seed: int) -> np.ndarray:

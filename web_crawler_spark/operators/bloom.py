@@ -17,8 +17,12 @@ candidate set against a 10^10-row build side. The Bloom tier shrinks that:
   or false) are confirmed against the exact seen table. False-positive rate
   only moves the split point, not the answer.
 
-Hash family: Kirsch–Mitzenmacher double hashing g_i = h1 + i·h2 over the two
-streams split from the existing xxhash64 url_hash — no re-hashing of strings.
+Hash family: xor-rotate double hashing g_i = h1 XOR rot64(h2, r_i) over two
+streams derived from the existing xxhash64 url_hash (no re-hashing of
+strings). The family is multiplication-free on purpose: every term has a
+bit-identical ANSI-safe Spark SQL expression, so the table-tier probe
+(``probe_words_joined``) runs entirely JVM-side in whole-stage codegen —
+no Arrow round-trip of the candidate set. See ``hashing.bloom_streams``.
 """
 
 from __future__ import annotations
@@ -30,6 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     BooleanType,
     IntegerType,
@@ -38,7 +43,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..functions.hashing import split_u64
+from ..functions.hashing import bloom_indices, bloom_rotations
 
 BLOB_SCHEMA = StructType(
     [
@@ -56,17 +61,13 @@ _PROBE_SCHEMA = StructType(
 
 
 def _set_bits(bits: np.ndarray, hashes: np.ndarray, m: int, k: int) -> None:
-    h1, h2 = split_u64(hashes)
-    for i in range(k):
-        idx = ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
+    for idx in bloom_indices(hashes, m, k):
         np.bitwise_or.at(bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
 
 
 def _test_bits(bits: np.ndarray, hashes: np.ndarray, m: int, k: int) -> np.ndarray:
-    h1, h2 = split_u64(hashes)
     out = np.ones(len(hashes), dtype=bool)
-    for i in range(k):
-        idx = ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
+    for idx in bloom_indices(hashes, m, k):
         out &= (bits[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
     return out
 
@@ -75,8 +76,11 @@ class PartitionedBloom:
     """P independent Bloom blobs keyed by pmod(url_hash, P)."""
 
     def __init__(self, n_partitions: int, bits_per_partition: int, n_hashes: int):
-        if bits_per_partition % 8:
-            bits_per_partition += 8 - bits_per_partition % 8
+        # round m up to a multiple of 64 so a blob is viewable as whole
+        # little-endian int64 words (the JVM-probe layout); the pad bits are
+        # never set, so they never flip a test
+        if bits_per_partition % 64:
+            bits_per_partition += 64 - bits_per_partition % 64
         self.p = n_partitions
         self.m = bits_per_partition
         self.k = n_hashes
@@ -289,4 +293,151 @@ def or_merge_blobs(
         keys.groupBy("__pkey")
         .cogroup(blobs_df.groupBy("pkey"))
         .applyInPandas(fn, BLOB_SCHEMA)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Words layout — blobs as (pkey, words array<long>) so the probe is a plain
+# equi-join + bit-test COLUMN EXPRESSION, fully JVM-side in whole-stage
+# codegen. This is the production probe for the table tier: the cogrouped
+# Arrow probe above pays ~µs/row to round-trip every candidate through a
+# Python worker, a linear tax that never amortizes; here candidates never
+# leave the JVM. Catalyst picks the join strategy by size — broadcast while
+# the filter is MB-sized, sort-merge on pkey at the 10^10 design point where
+# the blob table is ~17.5 GB (the same data movement as the cogroup, minus
+# the Python round-trip). Word j of a partition's words equals the
+# little-endian int64 view of bytes [8j, 8j+8) of its binary blob.
+# ---------------------------------------------------------------------------
+
+WORDS_SCHEMA = StructType(
+    [
+        StructField("pkey", IntegerType(), False),
+        StructField("words", ArrayType(LongType(), False), False),
+    ]
+)
+
+
+def _bits_to_words(bits: np.ndarray) -> np.ndarray:
+    return np.frombuffer(bits.tobytes(), dtype="<i8")
+
+
+def _words_to_bits(words) -> np.ndarray:
+    return np.frombuffer(
+        np.asarray(words, dtype="<i8").tobytes(), dtype=np.uint8
+    ).copy()
+
+
+def or_merge_words(
+    new_keys: DataFrame,
+    words_df: DataFrame,
+    *,
+    m: int,
+    k: int,
+    p: int,
+    hash_col: str = "url_hash",
+) -> DataFrame:
+    """``or_merge_blobs`` for the words layout: OR ``new_keys`` into the
+    existing (pkey, words) rows — one task per touched partition, O(P) small
+    rows out, zero driver traffic."""
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left):
+            pkey = int(left["__pkey"].iloc[0])
+        else:
+            pkey = int(right["pkey"].iloc[0])
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        if len(right):
+            bits |= _words_to_bits(right["words"].iloc[0])
+        if len(left):
+            _set_bits(bits, left["h"].to_numpy(np.int64), m, k)
+        return pd.DataFrame({"pkey": [pkey], "words": [_bits_to_words(bits)]})
+
+    keys = new_keys.select(
+        F.col(hash_col).alias("h"),
+        F.pmod(F.col(hash_col), F.lit(p)).cast("int").alias("__pkey"),
+    )
+    return (
+        keys.groupBy("__pkey")
+        .cogroup(words_df.groupBy("pkey"))
+        .applyInPandas(fn, WORDS_SCHEMA)
+    )
+
+
+def blobs_to_words(blobs_df: DataFrame) -> DataFrame:
+    """One-shot layout migration: (pkey, bits binary) → (pkey, words)."""
+
+    def fn(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "pkey": pdf["pkey"].astype("int32"),
+                    "words": [
+                        _bits_to_words(np.frombuffer(bytes(b), dtype=np.uint8))
+                        for b in pdf["bits"]
+                    ],
+                }
+            )
+
+    return blobs_df.mapInPandas(fn, WORDS_SCHEMA)
+
+
+def might_contain_expr(hash_col, words_col, *, m: int, k: int):
+    """The k-probe Bloom test as a pure column expression — the JVM twin of
+    ``_test_bits`` (term-for-term mirror of ``hashing.bloom_indices``).
+
+    ANSI-safe by construction: xor / logical shifts / rotate / pmod only
+    (the family is multiplication-free for exactly this reason). Unsigned
+    mod is recovered from signed pmod by adding 2^64 mod m for negative
+    values. A NULL words column (no blob row for the partition yet) is a
+    definite negative.
+    """
+    h = F.col(hash_col) if isinstance(hash_col, str) else hash_col
+    w = F.col(words_col) if isinstance(words_col, str) else words_col
+    x1 = h.bitwiseXOR(F.shiftleft(h, 13))
+    x2 = x1.bitwiseXOR(F.shiftrightunsigned(x1, 7))
+    h2 = x2.bitwiseXOR(F.shiftleft(x2, 17))
+    c_wrap = (1 << 64) % m  # 2^64 mod m, a small nonneg constant
+    test = F.lit(True)
+    for r in bloom_rotations(k):
+        rot = (
+            h2
+            if r == 0
+            else F.shiftleft(h2, r).bitwiseOR(F.shiftrightunsigned(h2, 64 - r))
+        )
+        g = h.bitwiseXOR(rot)
+        idx = F.pmod(
+            F.pmod(g, F.lit(m))
+            + F.when(g < 0, F.lit(c_wrap)).otherwise(F.lit(0)),
+            F.lit(m),
+        )
+        word = F.element_at(w, F.shiftrightunsigned(idx, 6).cast("int") + 1)
+        test = test & (F.getbit(word, idx.bitwiseAND(F.lit(63))) == 1)
+    return F.when(w.isNull(), F.lit(False)).otherwise(test)
+
+
+def probe_words_joined(
+    df: DataFrame,
+    words_df: DataFrame,
+    *,
+    m: int,
+    k: int,
+    p: int,
+    hash_col: str = "url_hash",
+) -> DataFrame:
+    """Attach ``might_contain`` by equi-joining candidates to their blob row
+    on pkey and evaluating the k bit tests as column expressions. Same
+    answer as ``PartitionedBloom.probe`` / ``probe_cogrouped`` (pinned by
+    tests); zero Python in the path."""
+    blobs = words_df.select(
+        F.col("pkey").alias("__bpkey"), F.col("words").alias("__words")
+    )
+    cand = df.withColumn(
+        "__pkey", F.pmod(F.col(hash_col), F.lit(p)).cast("int")
+    )
+    return (
+        cand.join(blobs, cand["__pkey"] == blobs["__bpkey"], "left")
+        .withColumn(
+            "might_contain", might_contain_expr(hash_col, "__words", m=m, k=k)
+        )
+        .drop("__pkey", "__bpkey", "__words")
     )

@@ -139,8 +139,11 @@ class DistributedSeenTiers:
     # ------------------------------------------------------------- persistence
 
     def dump(self, path: str) -> None:
+        from ..functions.hashing import BLOOM_FAMILY
+
         state = {
             "kind": self.kind,
+            "family": BLOOM_FAMILY,
             "bloom": (self.bloom.p, self.bloom.m, self.bloom.k, self.bloom.to_rows()),
             "flushed_round": self.flushed_round,
             "flush_every": self.flush_every,
@@ -150,12 +153,25 @@ class DistributedSeenTiers:
 
     @classmethod
     def load(cls, path: str) -> "DistributedSeenTiers":
+        from ..functions.hashing import BLOOM_FAMILY
+
         with open(path, "rb") as f:
             state = pickle.load(f)
         p, m, k, rows = state["bloom"]
         tiers = cls(flush_every=state["flush_every"], bloom_partitions=p)
-        tiers.bloom = PartitionedBloom.from_rows(rows, p, m, k)
-        tiers.flushed_round = state["flushed_round"]
+        if state.get("family") == BLOOM_FAMILY:
+            tiers.bloom = PartitionedBloom.from_rows(rows, p, m, k)
+            tiers.flushed_round = state["flushed_round"]
+        else:
+            # Checkpoint written under a different hash family: its bits are
+            # meaningless to the current probe and REUSING them would create
+            # false negatives (seen URLs re-scheduled — an exactness bug).
+            # Safe reset: empty filter + watermark 0 makes the derived hot
+            # tier (exact rows, settled_round >= 1) cover the ENTIRE seen
+            # set until the next flush rebuilds the blobs under the current
+            # family. Slower for a few rounds, never wrong.
+            tiers.bloom = PartitionedBloom(p, m, k)
+            tiers.flushed_round = 0
         return tiers
 
 
@@ -167,11 +183,17 @@ class TableSeenTiers(DistributedSeenTiers):
     10^10 keys / 14 bits it is ~17.5 GB — too big for either. Here the blobs
     are (pkey, bits) rows in a ``SnapshotTable``:
 
-    - **probe**: candidates cogroup with their blob row by pkey
-      (``bloom.probe_cogrouped``) — each task holds one ~17 MB blob, the
-      driver holds none. The derived hot tier is unchanged (politeness
-      bounds it, so its broadcast join stays legitimate at any scale).
-    - **flush**: ``bloom.or_merge_blobs`` ORs the post-watermark seen slice
+    - **probe**: candidates equi-join their blob row on pkey and the k bit
+      tests evaluate as COLUMN EXPRESSIONS (``bloom.probe_words_joined``) —
+      fully JVM-side in whole-stage codegen, no Arrow round-trip of the
+      candidate set (the cogrouped Arrow probe paid a ~µs/row Python tax
+      that never amortizes). Blobs are stored as ``array<long>`` words;
+      Catalyst broadcasts the blob table while it is MB-sized and falls
+      back to a sort-merge join on pkey at the 10^10 point — the same data
+      movement as the cogroup, minus Python. The derived hot tier is
+      unchanged (politeness bounds it, so its broadcast join stays
+      legitimate at any scale).
+    - **flush**: ``bloom.or_merge_words`` ORs the post-watermark seen slice
       into the blob rows and overwrites the table — one distributed job,
       zero blob bytes through the driver.
     - **checkpoint/resume**: ``dump`` records only sizing + watermark + the
@@ -208,24 +230,24 @@ class TableSeenTiers(DistributedSeenTiers):
     def init_table(self) -> None:
         """Fresh start: an empty blob table (no partitions have blobs yet —
         every probe is a definite negative until the first flush)."""
-        from .bloom import BLOB_SCHEMA
+        from .bloom import WORDS_SCHEMA
 
-        self.blob_table.overwrite_local([], BLOB_SCHEMA)
+        self.blob_table.overwrite_local([], WORDS_SCHEMA)
 
-    def _blobs_df(self, spark) -> DataFrame:
-        from .bloom import BLOB_SCHEMA
+    def _words_df(self, spark) -> DataFrame:
+        from .bloom import WORDS_SCHEMA
 
-        return self.blob_table.read(spark, schema=BLOB_SCHEMA)
+        return self.blob_table.read(spark, schema=WORDS_SCHEMA)
 
     def end_round(self, current_round: int, seen_table, spark) -> None:
-        from .bloom import or_merge_blobs
+        from .bloom import or_merge_words
 
         if current_round - self.flushed_round < self.flush_every:
             return
         hot = self.hot_slice(spark, seen_table, current_round)
-        merged = or_merge_blobs(
+        merged = or_merge_words(
             hot,
-            self._blobs_df(spark),
+            self._words_df(spark),
             m=self.bloom.m,
             k=self.bloom.k,
             p=self.bloom.p,
@@ -237,14 +259,14 @@ class TableSeenTiers(DistributedSeenTiers):
         self, df: DataFrame, spark, seen_table, current_round: int,
         hash_col: str = "url_hash",
     ) -> DataFrame:
-        from .bloom import probe_cogrouped
+        from .bloom import probe_words_joined
 
         hot = self.hot_slice(
             spark, seen_table, current_round, hash_col=hash_col
         ).withColumn("__hot", F.lit(True))
-        probed = probe_cogrouped(
+        probed = probe_words_joined(
             df,
-            self._blobs_df(spark),
+            self._words_df(spark),
             m=self.bloom.m,
             k=self.bloom.k,
             p=self.bloom.p,
@@ -262,8 +284,12 @@ class TableSeenTiers(DistributedSeenTiers):
     # ------------------------------------------------------------- persistence
 
     def dump(self, path: str) -> None:
+        from ..functions.hashing import BLOOM_FAMILY
+
         state = {
             "kind": self.kind,
+            "family": BLOOM_FAMILY,
+            "layout": "words",
             "sizing": (self.bloom.p, self.bloom.m, self.bloom.k),
             "expected_keys": self.expected_keys,
             "flushed_round": self.flushed_round,
@@ -276,6 +302,8 @@ class TableSeenTiers(DistributedSeenTiers):
 
     @classmethod
     def load(cls, path: str) -> "TableSeenTiers":
+        from ..functions.hashing import BLOOM_FAMILY
+
         with open(path, "rb") as f:
             state = pickle.load(f)
         tiers = cls(
@@ -285,11 +313,23 @@ class TableSeenTiers(DistributedSeenTiers):
             flush_every=state["flush_every"],
         )
         tiers.bloom.m, tiers.bloom.k = state["sizing"][1], state["sizing"][2]
-        tiers.flushed_round = state["flushed_round"]
-        sid = state["table_sid"]
-        if sid is not None and tiers.blob_table.current_snapshot_id() != sid:
-            # discard blob commits past the checkpoint (crash mid-round)
-            tiers.blob_table.rollback(sid)
+        if (
+            state.get("family") == BLOOM_FAMILY
+            and state.get("layout") == "words"
+        ):
+            tiers.flushed_round = state["flushed_round"]
+            sid = state["table_sid"]
+            if sid is not None and tiers.blob_table.current_snapshot_id() != sid:
+                # discard blob commits past the checkpoint (crash mid-round)
+                tiers.blob_table.rollback(sid)
+        else:
+            # Blob table written under a different hash family or the legacy
+            # binary layout: reusing those bits would create false negatives
+            # (an exactness bug). Reset to an empty words table + watermark 0
+            # — the derived hot tier covers the whole seen set exactly until
+            # the next flush rebuilds the filter. Slower, never wrong.
+            tiers.init_table()
+            tiers.flushed_round = 0
         return tiers
 
 
@@ -446,8 +486,11 @@ class SeenTiers:
     # ------------------------------------------------------------- persistence
 
     def dump(self, path: str) -> None:
+        from ..functions.hashing import BLOOM_FAMILY
+
         state = {
             "kind": "driver",
+            "family": BLOOM_FAMILY,
             "bloom": (self.bloom.p, self.bloom.m, self.bloom.k, self.bloom.to_rows()),
             "hot_buckets": self.hot_buckets,
             "hot_table": self.hot.table.tobytes(),
@@ -462,8 +505,19 @@ class SeenTiers:
 
     @classmethod
     def load(cls, path: str) -> "SeenTiers":
+        from ..functions.hashing import BLOOM_FAMILY
+
         with open(path, "rb") as f:
             state = pickle.load(f)
+        if state.get("family") != BLOOM_FAMILY:
+            # Unlike the distributed tiers, this driver-sized tier has no
+            # derived exact hot slice to fall back on — stale-family bits
+            # would silently drop seen URLs as definite negatives. Fail loud.
+            raise ValueError(
+                "seen-tiers checkpoint was written under bloom hash family "
+                f"{state.get('family')!r}; current family is {BLOOM_FAMILY!r}."
+                " Rebuild the tiers from the exact seen table."
+            )
         p, m, k, rows = state["bloom"]
         tiers = cls(flush_every=state["flush_every"], hot_buckets=state["hot_buckets"])
         tiers.bloom = PartitionedBloom.from_rows(rows, p, m, k)

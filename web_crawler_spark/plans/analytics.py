@@ -2220,9 +2220,16 @@ def _expected_bloom_path(sf_dir: str) -> str:
     could leave a stale file from another scale on disk (bench at sf0.1 vs
     the driver gate at sf0.01) and make the parity compare spuriously pass
     or fail. One deterministic file per sf_dir removes the aliasing; the
-    contents are a pure function of the path, so existence == freshness."""
+    contents are a pure function of the path, so existence == freshness.
+    The hash-family tag keys the file the same way: a family change (e.g.
+    the KM→xor-rotate move for the ANSI-safe JVM probe) flips the exact
+    false-positive split, so stale-family fixtures must self-invalidate."""
+    from ..functions.hashing import BLOOM_FAMILY
+
     slug = sf_dir.strip("/").replace("/", "-")
-    return _os.path.join(ORACLE_EXPECTED_DIR, f"bloom_prefilter_stats-{slug}.parquet")
+    return _os.path.join(
+        ORACLE_EXPECTED_DIR, f"bloom_prefilter_stats-{BLOOM_FAMILY}-{slug}.parquet"
+    )
 
 
 EXPECTED_BLOOM = _expected_bloom_path(ORACLE_SF_DIR)

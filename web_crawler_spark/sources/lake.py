@@ -103,6 +103,8 @@ def _arrow_type(dt):
     for spark_t, arrow_t in mapping.items():
         if isinstance(dt, spark_t):
             return arrow_t
+    if isinstance(dt, T.ArrayType):
+        return pa.list_(_arrow_type(dt.elementType))
     raise TypeError(f"no arrow mapping for local commit of {dt}")
 
 
