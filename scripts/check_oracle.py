@@ -5,7 +5,12 @@ DuckDB at sf0.01, then compares row count, sorted column names, and an
 order-insensitive value comparison (exact for ints/strings/dates, equality
 after the queries' own rounding for doubles).
 
-Usage: python scripts/check_oracle.py [name ...]
+Usage: python scripts/check_oracle.py [--json OUT.json] [name ...]
+
+With ``--json`` it also writes a CORRECTNESS_r{N}.json-shaped artifact
+(one object per entry: rows_match / schema_match / hash_match /
+spark_rows / oracle_rows / err) so every round leaves a committed local
+record covering ALL registry entries, not just the driver's window.
 """
 
 from __future__ import annotations
@@ -73,7 +78,14 @@ def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
 
 
 def main():
-    only = set(sys.argv[1:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    only = set(argv)
+    records: dict[str, dict] = {}
     import __spark_entry__ as E
     from web_crawler_spark.session import get_spark
 
@@ -91,32 +103,52 @@ def main():
         import time
 
         t0 = time.time()
+        rec = {
+            "rows_match": False, "schema_match": False, "hash_match": False,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        records[name] = rec
         try:
             sdf = fn(spark, SF_DIR).toPandas()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {ex}")
+            rec["err"] = f"spark: {ex}"[:500]
             n_fail += 1
             continue
         t1 = time.time()
+        rec["spark_rows"] = len(sdf)
         sql = sqls.get(name)
         if sql is None:
             print(f"ok?  {name}: rows-only ({len(sdf)} rows, {t1-t0:.1f}s) — no oracle")
+            rec.update(rows_match=True, schema_match=None, hash_match=None)
             continue
         try:
             ddf = con.sql(sql).df()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {ex}")
+            rec["err"] = f"duckdb: {ex}"[:500]
             n_fail += 1
             continue
+        rec["oracle_rows"] = len(ddf)
         problems = compare(name, sdf, ddf)
+        rec["schema_match"] = not any(p.startswith("columns differ") for p in problems)
+        rec["rows_match"] = len(sdf) == len(ddf)
+        rec["hash_match"] = not problems
         if problems:
             n_fail += 1
+            rec["err"] = "; ".join(problems[:3])[:500]
             print(f"FAIL {name} ({len(sdf)} vs {len(ddf)} rows):")
             for p in problems:
                 print(f"  - {p}")
         else:
             print(f"PASS {name} ({len(sdf)} rows, spark {t1-t0:.1f}s)")
     print(f"\n{n_fail} failures")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=2)
+        print(f"wrote {json_out} ({len(records)} entries)")
     sys.exit(1 if n_fail else 0)
 
 
