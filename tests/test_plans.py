@@ -134,10 +134,11 @@ def test_distributed_tier_probe_plan_is_broadcast_and_arrow(spark, tmp_path):
     assert "BatchEvalPython" not in p      # never row-at-a-time Python
 
 
-def test_table_tier_probe_plan_is_cogrouped_and_arrow(spark, tmp_path):
-    """TableSeenTiers.probe: the bloom test is a cogrouped Arrow pass (one
-    blob per task — no broadcast of the filter, no cartesian product), and
-    the hot tier still joins by broadcast."""
+def test_table_tier_probe_plan_is_jvm_side_join(spark, tmp_path):
+    """TableSeenTiers.probe: the bloom test is an equi-join to the words
+    table plus k getbit column expressions — entirely JVM-side (no Python
+    stage of any kind, no cartesian product), and the hot tier still joins
+    by broadcast."""
     from pyspark.sql import functions as F
 
     from web_crawler_spark.operators.membership import TableSeenTiers
@@ -157,10 +158,12 @@ def test_table_tier_probe_plan_is_cogrouped_and_arrow(spark, tmp_path):
     tiers.init_table()
     probe = spark.range(50).select(F.xxhash64("id").alias("url_hash"))
     p = _plan(tiers.probe(probe, spark, seen, 1))
-    assert "FlatMapCoGroupsInPandas" in p  # blob-per-task bloom test
-    assert "BroadcastHashJoin" in p        # the (bounded) hot-slice join
+    assert "getbit" in p                    # the k bit tests, in codegen
+    assert "FlatMapCoGroupsInPandas" not in p  # probe moved JVM-side
+    assert "ArrowEvalPython" not in p       # zero Python in this path
+    assert "BatchEvalPython" not in p
+    assert "BroadcastHashJoin" in p         # blob + hot-slice joins
     assert "CartesianProduct" not in p
-    assert "BatchEvalPython" not in p      # never row-at-a-time Python
 
 
 def test_round_releases_all_storage_blocks(spark, tmp_path):
