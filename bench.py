@@ -150,8 +150,17 @@ def frontier_tiered_throughput(spark, n_rows: int = 5_000_000) -> tuple[float, i
     exactly → skew-safe per-host top-k. Building the filter is untimed
     setup: in production it persists across rounds (TableSeenTiers) and is
     amortized over flush_every rounds; the measured cost is ONE scheduling
-    round. ``selected`` must equal the untiered round's — the tier only
-    moves work, never the answer (pinned in tests)."""
+    round. The round composition mirrors ``plans/round.py``: blobs are read
+    from parquet (the snapshot-table layout, so Catalyst has file-scan
+    stats and picks broadcast while the filter is MB-sized, sort-merge at
+    the 10^10 point) and ``probed`` is persisted before the
+    negatives/positives split (round.py:611) — without it the dedupe window
+    upstream of the probe is computed twice. ``selected`` must equal the
+    untiered round's — the tier only moves work, never the answer (pinned
+    in tests)."""
+    import shutil
+    import tempfile
+
     from web_crawler_spark.operators.bloom import (
         WORDS_SCHEMA,
         PartitionedBloom,
@@ -167,13 +176,17 @@ def frontier_tiered_throughput(spark, n_rows: int = 5_000_000) -> tuple[float, i
     )
     empty = spark.createDataFrame([], schema=WORDS_SCHEMA)
     seen = seen.localCheckpoint(eager=True)
-    blobs = or_merge_words(
-        seen, empty, m=bf.m, k=bf.k, p=bf.p
-    ).localCheckpoint(eager=True)
+    blob_dir = tempfile.mkdtemp(prefix="wcs-bench-blobs-")
+    or_merge_words(seen, empty, m=bf.m, k=bf.k, p=bf.p).write.mode(
+        "overwrite"
+    ).parquet(blob_dir)
+    blobs = spark.read.parquet(blob_dir)
 
     t0 = time.time()
     deduped = first_wins(frontier, "url_hash", [F.col("discovered_pos").asc()])
-    probed = probe_words_joined(deduped, blobs, m=bf.m, k=bf.k, p=bf.p)
+    probed = probe_words_joined(
+        deduped, blobs, m=bf.m, k=bf.k, p=bf.p
+    ).persist()
     negatives = probed.filter(~F.col("might_contain")).drop("might_contain")
     positives = probed.filter(F.col("might_contain")).drop("might_contain")
     unseen = negatives.unionByName(anti_join_seen(positives, seen))
@@ -189,8 +202,9 @@ def frontier_tiered_throughput(spark, n_rows: int = 5_000_000) -> tuple[float, i
     dt = time.time() - t0
     from web_crawler_spark.session import release_frame
 
-    for df_ in (seen, blobs):
+    for df_ in (seen, probed):
         release_frame(df_)
+    shutil.rmtree(blob_dir, ignore_errors=True)
     return n_rows / dt, n_sel
 
 
