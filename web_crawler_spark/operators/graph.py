@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..session import release_frame
+from ..session import release_frame, truncate_plan
 
 RANK_SCALE = 1_000_000
 DAMPING_NUM, DAMPING_DEN = 85, 100  # 0.85 as an exact integer ratio
@@ -49,12 +49,11 @@ def pagerank(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
     ).distinct()
-    e = e.localCheckpoint(eager=True)
-    nodes = (
+    e = truncate_plan(e)
+    nodes = truncate_plan(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     out_deg = e.groupBy("src").agg(F.count("*").alias("out"))
     base = (RANK_SCALE * (DAMPING_DEN - DAMPING_NUM)) // DAMPING_DEN
@@ -72,7 +71,11 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
+        # truncate_plan, not bare localCheckpoint: the next iterate joins
+        # this one back into the plan, and inherited size estimates would
+        # compound per round (see session.truncate_plan — BigInteger
+        # overflow at high iteration counts)
+        ranks = truncate_plan(
             nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
             .select(
                 "node",
@@ -81,7 +84,6 @@ def pagerank(
                     + F.expr(f"({DAMPING_NUM} * coalesce(s, 0)) div {DAMPING_DEN}")
                 ).cast("long").alias("rank_int"),
             )
-            .localCheckpoint(eager=True)
         )
         # the new iterate is materialized; last round's blocks are dead —
         # free them now instead of waiting on nondeterministic JVM GC

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import SIMHASH_BITS, md5_long, shingle_hashes
-from ..session import release_frame
+from ..session import release_frame, truncate_plan
 
 DEFAULT_PERMS = 32
 # 4 bands × 8 rows: r=8 keeps moderate-similarity pairs (J≈0.4-0.5, which
@@ -259,16 +259,19 @@ def connected_components(
     of a corpus) never enter the frame — join the result back LEFT to keep
     singletons."""
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = (
+    # truncate_plan, not bare localCheckpoint, at every materialization in
+    # this loop: each round's plan joins the previous round's checkpoint
+    # (twice) plus the edges, and inherited size estimates compound
+    # multiplicatively per round until plan-time stats estimation throws
+    # (see session.truncate_plan; observed on a 40k-image phash graph)
+    edges = truncate_plan(
         fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = truncate_plan(
         edges.select(F.col("src").alias("doc"))
         .distinct()
         .select("doc", F.col("doc").alias("label"))
-        .localCheckpoint(eager=True)
     )
     prev_ckpt = labels  # the checkpoint the CURRENT labels frame reads
     converged = False
@@ -304,7 +307,7 @@ def connected_components(
         # work dominates, but driver fixed cost per iteration is exactly
         # what an O(log diameter) loop multiplies
         obs = Observation(f"cc_changed_{it_n}")
-        new_labels = (
+        new_labels = truncate_plan(
             step.join(parent, "label", "left")
             .select(
                 "doc",
@@ -319,7 +322,6 @@ def connected_components(
                     F.when(F.col("label") != F.col("old_label"), 1)
                 ).alias("changed"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = obs.get["changed"]
         # the new checkpoint is materialized; the previous round's blocks

@@ -121,3 +121,46 @@ def _release_plan(plan, deep: bool) -> bool:
     while it.hasNext():
         hit = _release_plan(it.next(), True) or hit
     return hit
+
+
+def truncate_plan(df):
+    """``localCheckpoint(eager=True)`` that also DROPS the inherited plan
+    statistics — the materialization point for iterative operators.
+
+    ``Dataset.localCheckpoint`` truncates lineage but carries the source
+    plan's estimated statistics onto the new ``LogicalRDD`` leaf
+    (``LogicalRDD.rewriteStatsAndConstraints``). Under the default
+    size-only estimator a join's ``sizeInBytes`` is the uncapped BigInt
+    PRODUCT of its children (``SizeInBytesOnlyStatsPlanVisitor.default``),
+    so an iterative loop that joins each round's checkpoint into the next
+    round's plan DOUBLES the estimate's bit-length every round — by round
+    ~25 the number itself exceeds java.math.BigInteger's 2^31-bit ceiling
+    and plan-time stats estimation throws ``ArithmeticException:
+    BigInteger would overflow supported range`` (observed in
+    ``connected_components`` on a 40k-image near-dup graph; any
+    mapInPandas-rooted loop seeds this with ``defaultSizeInBytes`` =
+    Long.MaxValue). Rewrapping the ALREADY-MATERIALIZED checkpoint RDD via
+    ``internalCreateDataFrame`` builds the same ``LogicalRDD`` leaf with
+    no stats override, so each round restarts from ``defaultSizeInBytes``
+    and the estimate stays bounded no matter how many rounds run. Falls
+    back to the plain checkpoint if the internal constructor ever drifts
+    (the loop then still works for bounded iteration counts)."""
+    ckpt = df.localCheckpoint(eager=True)
+    try:
+        jdf = ckpt._jdf
+        analyzed = jdf.queryExecution().analyzed()
+        # take the LogicalRDD's OWN rdd (the persisted blocks), not
+        # queryExecution().toRdd() (a derived MapPartitionsRDD) — the
+        # wrapper must hold the materialized RDD itself so
+        # ``release_frame`` on the wrapper still unpersists the blocks
+        if analyzed.getClass().getSimpleName() != "LogicalRDD":
+            return ckpt
+        jrdd = analyzed.rdd()
+        jschema = jdf.schema()
+        spark = ckpt.sparkSession
+        jdf2 = spark._jsparkSession.internalCreateDataFrame(jrdd, jschema, False)
+        from pyspark.sql import DataFrame as _DF
+
+        return _DF(jdf2, spark)
+    except Exception:  # Connect or internal-API drift
+        return ckpt
