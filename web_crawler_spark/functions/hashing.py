@@ -93,7 +93,7 @@ def xxh64_str(s: str, seed: int = SPARK_XXHASH_SEED) -> int:
 # Vectorized 64-bit mixers (numpy) — Bloom hash family / minhash permutations.
 # ---------------------------------------------------------------------------
 
-BLOOM_FAMILY = "xr1"  # xor-rotate family version tag (persisted filters
+BLOOM_FAMILY = "xr2"  # xor-rotate family version tag (persisted filters
 # from a different family are discarded on load — mixed-family bits would
 # produce false NEGATIVES, which the exactness contract cannot absorb)
 
@@ -125,11 +125,21 @@ def bloom_rotations(k: int) -> list[int]:
 def bloom_indices(h: np.ndarray, m: int, k: int):
     """Yield the k bit-index arrays (int64 in [0, m)) for the given hashes —
     the single numpy definition of the family's index math; the JVM
-    expression in ``bloom.probe_words_joined`` mirrors it term for term."""
+    expression in ``bloom.probe_words_joined`` mirrors it term for term.
+
+    The mixed value is masked to 63 bits before the mod: the JVM twin works
+    on SIGNED longs, and recovering unsigned-mod semantics there needs the
+    probe value referenced twice per test (``pmod(g,m) + when(g<0, 2^64%m)``)
+    — a duplication that measured 20-25× slower through Spark's generated
+    code than a single-reference expression (method-split boundaries defeat
+    subexpression reuse and JIT inlining). Dropping the sign bit costs the
+    filter nothing (the 63 remaining bits are uniform) and makes the two
+    twins the same one-reference expression: ``(g & MAX_LONG) % m``."""
     h1, h2 = bloom_streams(h)
+    sign_mask = np.uint64((1 << 63) - 1)
     for r in bloom_rotations(k):
         rot = h2 if r == 0 else (h2 << np.uint64(r)) | (h2 >> np.uint64(64 - r))
-        yield ((h1 ^ rot) % np.uint64(m)).astype(np.int64)
+        yield (((h1 ^ rot) & sign_mask) % np.uint64(m)).astype(np.int64)
 
 
 def mix64(h: np.ndarray, seed: int) -> np.ndarray:

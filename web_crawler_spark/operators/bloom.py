@@ -31,7 +31,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -386,17 +386,23 @@ def might_contain_expr(hash_col, words_col, *, m: int, k: int):
     ``_test_bits`` (term-for-term mirror of ``hashing.bloom_indices``).
 
     ANSI-safe by construction: xor / logical shifts / rotate / pmod only
-    (the family is multiplication-free for exactly this reason). Unsigned
-    mod is recovered from signed pmod by adding 2^64 mod m for negative
-    values. A NULL words column (no blob row for the partition yet) is a
-    definite negative.
+    (the family is multiplication-free for exactly this reason). The probe
+    value is masked to 63 bits before the mod so ONE pmod of a non-negative
+    long gives the family's index — critically, each probe references its
+    ``g`` subtree exactly once. The previous signed-pmod + ``when(g<0)``
+    sign correction referenced ``g`` twice per probe, and through Spark's
+    generated code that duplication measured 20-25× slower at k=10 (the
+    combined expression crosses method-split boundaries, after which common
+    subexpressions are re-evaluated per reference and JIT inlining breaks).
+    A NULL words column (no blob row for the partition yet) is a definite
+    negative.
     """
     h = F.col(hash_col) if isinstance(hash_col, str) else hash_col
     w = F.col(words_col) if isinstance(words_col, str) else words_col
     x1 = h.bitwiseXOR(F.shiftleft(h, 13))
     x2 = x1.bitwiseXOR(F.shiftrightunsigned(x1, 7))
     h2 = x2.bitwiseXOR(F.shiftleft(x2, 17))
-    c_wrap = (1 << 64) % m  # 2^64 mod m, a small nonneg constant
+    sign_mask = (1 << 63) - 1
     test = F.lit(True)
     for r in bloom_rotations(k):
         rot = (
@@ -404,11 +410,8 @@ def might_contain_expr(hash_col, words_col, *, m: int, k: int):
             if r == 0
             else F.shiftleft(h2, r).bitwiseOR(F.shiftrightunsigned(h2, 64 - r))
         )
-        g = h.bitwiseXOR(rot)
         idx = F.pmod(
-            F.pmod(g, F.lit(m))
-            + F.when(g < 0, F.lit(c_wrap)).otherwise(F.lit(0)),
-            F.lit(m),
+            h.bitwiseXOR(rot).bitwiseAND(F.lit(sign_mask)), F.lit(m)
         )
         word = F.element_at(w, F.shiftrightunsigned(idx, 6).cast("int") + 1)
         test = test & (F.getbit(word, idx.bitwiseAND(F.lit(63))) == 1)
@@ -427,17 +430,50 @@ def probe_words_joined(
     """Attach ``might_contain`` by equi-joining candidates to their blob row
     on pkey and evaluating the k bit tests as column expressions. Same
     answer as ``PartitionedBloom.probe`` / ``probe_cogrouped`` (pinned by
-    tests); zero Python in the path."""
+    tests); zero Python in the path.
+
+    Plan shape matters here: the k bit indexes are PRE-PROJECTED as columns
+    on the candidate side, below the join, so each xorshift/rotate/pmod
+    subtree is generated and evaluated exactly once per row. Evaluating
+    ``might_contain_expr`` directly above the join inlines each probe's
+    index subtree twice (word lookup + bit position), and through Spark's
+    generated code that duplication measured ~20× slower at k=10 than the
+    single-reference layout (the oversized expression crosses method-split
+    boundaries, defeating subexpression reuse and JIT inlining). The extra
+    k long columns live only inside the probe stage — projected right
+    before the (broadcast) join, dropped right after — so nothing wider
+    ever reaches a shuffle."""
     blobs = words_df.select(
         F.col("pkey").alias("__bpkey"), F.col("words").alias("__words")
     )
-    cand = df.withColumn(
-        "__pkey", F.pmod(F.col(hash_col), F.lit(p)).cast("int")
-    )
+    h = F.col(hash_col)
+    x1 = h.bitwiseXOR(F.shiftleft(h, 13))
+    x2 = x1.bitwiseXOR(F.shiftrightunsigned(x1, 7))
+    h2 = x2.bitwiseXOR(F.shiftleft(x2, 17))
+    sign_mask = (1 << 63) - 1
+    idx_cols: dict[str, Column] = {
+        "__pkey": F.pmod(h, F.lit(p)).cast("int")
+    }
+    for i, r in enumerate(bloom_rotations(k)):
+        rot = (
+            h2
+            if r == 0
+            else F.shiftleft(h2, r).bitwiseOR(F.shiftrightunsigned(h2, 64 - r))
+        )
+        idx_cols[f"__bi{i}"] = F.pmod(
+            h.bitwiseXOR(rot).bitwiseAND(F.lit(sign_mask)), F.lit(m)
+        )
+    cand = df.withColumns(idx_cols)
+    test = F.lit(True)
+    for i in range(k):
+        bi = F.col(f"__bi{i}")  # bare column ref: free to reference twice
+        word = F.element_at(
+            F.col("__words"), F.shiftrightunsigned(bi, 6).cast("int") + 1
+        )
+        test = test & (F.getbit(word, bi.bitwiseAND(F.lit(63))) == 1)
+    mc = F.when(F.col("__words").isNull(), F.lit(False)).otherwise(test)
     return (
         cand.join(blobs, cand["__pkey"] == blobs["__bpkey"], "left")
-        .withColumn(
-            "might_contain", might_contain_expr(hash_col, "__words", m=m, k=k)
-        )
-        .drop("__pkey", "__bpkey", "__words")
+        .withColumn("might_contain", mc)
+        .drop("__bpkey", "__words", *idx_cols.keys())
     )
