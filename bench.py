@@ -402,7 +402,12 @@ def main():
     tiered_per_sec, tiered_sel = max(ft_runs, key=lambda t: t[0])
     crawl = crawl_engine_bench(spark)
     total = round(sum(timings.values()), 3)
-    _update_bench_md(timings, cold, sf, cpus)
+    # SPARK_GRAFT_BENCH_MD=0 skips the BENCH.md rewrite: quick iteration
+    # runs at a smaller sf / fewer cores would otherwise clobber the
+    # committed table with numbers measured under a different methodology
+    # (the delta column then compares across scales — meaningless)
+    if os.environ.get("SPARK_GRAFT_BENCH_MD", "1") != "0":
+        _update_bench_md(timings, cold, sf, cpus)
     print(
         json.dumps(
             {
