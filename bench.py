@@ -208,17 +208,30 @@ def frontier_tiered_throughput(spark, n_rows: int = 5_000_000) -> tuple[float, i
     return n_rows / dt, n_sel
 
 
-def image_pipeline_throughput(spark, n_images: int = 40_000) -> tuple[float, int]:
+def image_pipeline_throughput(
+    spark, n_images: int = 150_000, size: int = 64
+) -> tuple[float, int]:
     """Image-payload scaling job (north rule, payload axis): synthesize →
     decode+phash (one Arrow pass) → pigeonhole band join → connected
     components → near-dup prune, reported as images/s through the full
-    pipeline. The decode/hash stage is Python-worker-bound, so this
+    pipeline. The synth/decode/hash stages are Python-worker-bound, so this
     evidences the OTHER scaling axis from the frontier job: Arrow batch
     transfer and Python worker-pool utilization, the regime every real
     image operator (features, resize, curation gates) lives in. Every 8th
     image is a planted ``~d1`` near-dup; every 97th blob is corrupt (the
     decode gate drops it as an error row). The survivor count is
-    value-deterministic — identical across parallelism levels."""
+    value-deterministic — identical across parallelism levels.
+
+    Composition note: synthesis (render+encode, per-image Python work
+    standing in for fetch+transcode) runs INSIDE the timed window — the
+    corpus is lazy, so the decode pass streams it. The non-scaling floor
+    is the near-dup graph machinery (band join + star-contraction rounds +
+    survivor joins, ~4-6s of driver/shuffle fixed cost at any local[N]);
+    n_images × size must be large enough that per-image work dominates
+    that floor, exactly as it does on a real corpus (where images are
+    10-100× larger still). At 32×32/40k the job measured the fixed floor,
+    not the payload axis — scaling efficiency said 0.24 while the decode
+    stage itself scaled near-linearly."""
     import pandas as pd
 
     from web_crawler_spark.operators.multimodal import phash_prune
@@ -237,7 +250,7 @@ def image_pipeline_throughput(spark, n_images: int = 40_000) -> tuple[float, int
                 if pk % 97 == 0:
                     blobs.append(f"corrupt-{pk}".encode())
                 else:
-                    blobs.append(encode_image(render_pixels(mid, 32, 32), "png"))
+                    blobs.append(encode_image(render_pixels(mid, size, size), "png"))
             yield pd.DataFrame({"media_id": ids, "bytes": blobs})
 
     corpus = base.mapInPandas(gen, "media_id string, bytes binary")
@@ -259,7 +272,11 @@ def crawl_engine_bench(spark, n_pages: int = 1500, rounds: int = 3) -> dict:
     from web_crawler_spark.sources.fixtures import generate_site, load_fixture
     from web_crawler_spark.sources.seeds import read_seeds
 
-    fdir = os.path.join(tempfile.gettempdir(), f"wcs-bench-fixture-{n_pages}")
+    # salt the cache path with the fixture-content version (see
+    # analytics._fixture_salt): render_pixels changes self-invalidate
+    from web_crawler_spark.plans.analytics import _SALT
+
+    fdir = os.path.join(tempfile.gettempdir(), f"wcs-bench-fixture-{n_pages}-{_SALT}")
     marker = os.path.join(fdir, "_COMPLETE")
     if not os.path.exists(marker):
         generate_site(fdir, n_pages=n_pages, n_hosts=100, n_seeds=20)

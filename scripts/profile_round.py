@@ -62,7 +62,9 @@ def main() -> None:
     DataFrame.collect = timed("collect", DataFrame.collect)
 
     spark = get_spark("profile-round", parallelism=32)
-    fdir = os.path.join(tempfile.gettempdir(), "wcs-bench-fixture-1500")
+    from web_crawler_spark.plans.analytics import _SALT
+
+    fdir = os.path.join(tempfile.gettempdir(), f"wcs-bench-fixture-1500-{_SALT}")
     marker = os.path.join(fdir, "_COMPLETE")
     if not os.path.exists(marker):
         generate_site(fdir, n_pages=1500, n_hosts=100, n_seeds=20)

@@ -161,9 +161,10 @@ def test_dedup_clusters_consistent_with_pairs(spark):
 
 
 def test_connected_components_matches_union_find_on_random_graphs(spark):
-    """Randomized (seeded) graphs incl. long chains: the label-propagation +
-    pointer-jumping result must equal a pure-Python union-find, and chains
-    longer than max_iters must still converge (pointer jumping is O(log d))."""
+    """Randomized (seeded) graphs incl. long chains: the star-contraction
+    result must equal a pure-Python union-find, and chains longer than
+    max_iters must still converge (contraction rounds are diameter-
+    independent, not one edge-hop per round)."""
     import numpy as np
 
     from web_crawler_spark.operators.textdedup import connected_components
@@ -202,6 +203,36 @@ def test_connected_components_matches_union_find_on_random_graphs(spark):
             r["doc_id"]: r["cluster_id"] for r in connected_components(df).collect()
         }
         assert got == union_find(edges)
+
+
+def test_connected_components_star_contraction_worst_cases(spark):
+    """Structural worst cases of the alternating large-star/small-star
+    rounds: monotone id-ordered paths (the adversarial input that made
+    naive min-contraction O(n) rounds), a star rooted at the max id (must
+    re-root at the min), duplicate/self-loop edges, and the empty frame."""
+    from web_crawler_spark.operators.textdedup import connected_components
+
+    def run(pairs):
+        df = spark.createDataFrame(pairs, "doc_a string, doc_b string")
+        return {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(df).collect()
+        }
+
+    ids = [f"a{i:02d}" for i in range(64)]
+    path = [(ids[i], ids[i + 1]) for i in range(63)]
+    assert run(path) == {i: ids[0] for i in ids}
+    assert run([(b, a) for a, b in path]) == {i: ids[0] for i in ids}
+
+    star = [("z", f"b{i:02d}") for i in range(20)]
+    expect = {f"b{i:02d}": "b00" for i in range(20)}
+    expect["z"] = "b00"
+    assert run(star) == expect
+
+    assert run([("q", "q"), ("q", "r"), ("r", "q")]) == {"q": "q", "r": "q"}
+
+    empty = spark.createDataFrame([], "doc_a string, doc_b string")
+    assert connected_components(empty).collect() == []
 
 
 def test_neardup_index_build_probe_split(spark, tmp_path):

@@ -2198,8 +2198,28 @@ _FIXTURE_CACHE: dict[str, object] = {}
 import os as _os
 import tempfile as _tempfile
 
-ORACLE_EXPECTED_DIR = _os.path.join(_tempfile.gettempdir(), "wcs-oracle-expected-r2")
-_DEMO_FIXTURE_DIR = _os.path.join(_tempfile.gettempdir(), "wcs-demo-fixture-r2")
+def _fixture_salt() -> str:
+    """Content-version tag for every on-disk expected/fixture cache dir.
+
+    The cache rule ("contents are a pure function of the path, so
+    existence == freshness") only holds if the path also keys the CONTENT
+    GENERATORS. This probes the actual image-render function — any change
+    to render_pixels/phash64 (e.g. the r4 multi-octave entropy fix)
+    changes the probe hash and self-invalidates every cached expected
+    table and demo fixture, instead of silently comparing a fresh engine
+    run against stale oracle parquet."""
+    from ..functions.images import phash64, render_pixels
+
+    return f"{phash64(render_pixels('cache-key-probe', 32, 32)) & 0xFFFFFFFF:08x}"
+
+
+_SALT = _fixture_salt()
+ORACLE_EXPECTED_DIR = _os.path.join(
+    _tempfile.gettempdir(), f"wcs-oracle-expected-{_SALT}"
+)
+_DEMO_FIXTURE_DIR = _os.path.join(
+    _tempfile.gettempdir(), f"wcs-demo-fixture-{_SALT}"
+)
 _DEMO_SPEC = dict(n_pages=120, n_hosts=8, n_seeds=6, neardup_rate=0.1)
 _DEMO_BUDGET = 3
 _DEMO_ROUNDS = 4
