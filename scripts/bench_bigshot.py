@@ -38,7 +38,12 @@ def main() -> None:
     job_fn, warm_floor = JOBS[job]
     spark = get_spark(f"bigshot-{job}-{cpus}", parallelism=cpus,
                       shuffle_partitions=shuf)
-    job_fn(spark, max(rows // 100, warm_floor))  # JIT + worker warmup
+    # JIT + Python-worker + JVM-heap warmup (same rows//20 protocol as
+    # bench_scaling.py): the first heavy job in a fresh JVM pays ~4× for
+    # heap growth + codegen JIT (measured: 85s first vs 18.5s steady for
+    # the same 10^8-row window job), so a too-small warmup pass leaves the
+    # single timed shot partly cold
+    job_fn(spark, max(rows // 20, warm_floor))
     load0 = round(os.getloadavg()[0], 2)
     t0 = time.time()
     tput, n_sel = job_fn(spark, rows)
