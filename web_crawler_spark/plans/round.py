@@ -607,16 +607,31 @@ class CrawlRun:
             # two-tier prefilter: definite negatives skip the exact anti-join
             # entirely; positives (hits + false positives) are confirmed
             # against the exact seen table — the final set stays EXACT.
+            #
+            # The probe runs on a NARROW branch — url_hash only — so the
+            # persisted frame is 8 bytes/row instead of full frontier rows
+            # (the r3 layout persisted the full-width probed frame and split
+            # it; materializing 10^8 full rows thrashed the storage pool —
+            # 14× the untiered per-row cost in the bench twin of this plan).
+            # ``best`` stays the only full-width frame: it anti-joins the
+            # small confirmed-drop set (seen ⋉ positives) reusing its own
+            # dedupe exchange's hashpartitioning — no new shuffle. Bloom has
+            # no false negatives, so seen ∩ batch ⊆ positives and
+            # best − (positives ∩ seen) ≡ best − seen.
+            hashes = best.select("url_hash")
             if self.tiers.kind == "driver":
-                probed = self.tiers.probe(best).persist()
+                probed = self.tiers.probe(hashes).persist()
             else:  # distributed | table: derived hot tier, same signature
                 probed = self.tiers.probe(
-                    best, self.spark, self.seen_t, self.round
+                    hashes, self.spark, self.seen_t, self.round
                 ).persist()
             negatives = probed.filter(~F.col("might_contain")).drop("might_contain")
             positives = probed.filter(F.col("might_contain")).drop("might_contain")
             rescued = anti_join_seen(positives, seen_df)
-            unseen = negatives.unionByName(rescued)
+            to_drop = seen_df.select("url_hash").join(
+                positives, "url_hash", "left_semi"
+            )
+            unseen = best.join(to_drop, "url_hash", "left_anti")
             tier_frames = {
                 "rows_tier_negative": negatives,
                 "rows_tier_positive": positives,
