@@ -896,7 +896,58 @@ class CrawlRun:
         for s in stats_src[1:]:
             stats = stats.unionByName(s)
         stats = stats.unionByName(lin_counts)
-        collected = stats.collect()
+
+        # ---- the counters job + the round's four table commits, ALL
+        # CONCURRENT (VERDICT r3 #4, extended r4). The four targets are
+        # independent tables and none of them needs the counters, so the
+        # stats collect rides in the same pool instead of serializing its
+        # ~2s job latency ahead of the commits; only the driver-local
+        # metrics/lineage appends (below) wait for it. Shared inputs are
+        # checkpointed (selected/fetched) or persisted — concurrent first
+        # readers of a cold persisted partition duplicate that partition's
+        # compute (Spark's cache dedupes storage, not compute), which is
+        # bounded here by the politeness batch size and measured cheaper
+        # than the serialized ordering. Crash-ordering is unchanged: the
+        # round only "happened" once the final checkpoint marker lands —
+        # resume() rolls back ANY table ahead of its checkpointed snapshot
+        # id, regardless of which subset of these commits survived (the
+        # resume suite exercises exactly that). Spark supports
+        # multi-threaded job submission; the tier update stays ordered
+        # AFTER the seen append inside its thread.
+        def _commit_seen() -> None:
+            self.seen_t.append(all_settled)
+            if self.tiers is not None:
+                if self.tiers.kind != "driver":
+                    # no driver-side key traffic: the hot tier is the seen
+                    # table's post-watermark slice; a flush (every
+                    # flush_every rounds) rebuilds blobs distributed — only
+                    # P blob rows reach the driver ('distributed', VERDICT
+                    # r1 #1), or zero blob bytes at all ('table': cogrouped
+                    # OR-merge straight into the blob snapshot table).
+                    self.tiers.end_round(rnd, self.seen_t, self.spark)
+                else:
+                    # legacy driver hot tier: the settled batch is bounded
+                    # by Σ host budgets → O(batch) driver-side inserts
+                    self.tiers.add_settled(
+                        [
+                            r["url_hash"]
+                            for r in all_settled.select("url_hash").collect()
+                        ]
+                    )
+                    self.tiers.end_round()
+
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            stats_future = pool.submit(stats.collect)
+            futures = [
+                pool.submit(self.fetch_log_t.append, all_log),
+                pool.submit(_commit_seen),
+                pool.submit(self.phash_seen_t.append, new_phash),
+                pool.submit(self.frontier_t.overwrite, new_frontier),
+            ]
+            collected = stats_future.result()
+            for f in futures:
+                f.result()  # propagate the first failure
+
         got = {r["k"]: int(r["n"]) for r in collected if r["pkey"] is None}
         strata: dict[int, dict[str, int]] = {}
         for r in collected:
@@ -920,49 +971,6 @@ class CrawlRun:
             # METRICS schema (oracle-checked) is unchanged; the trapped
             # count rides in the returned dict like the tier counters
             tier_counts["rows_trapped"] = got["rows_trapped"]
-
-        # ---- the round's four table commits, CONCURRENT (VERDICT r3 #4).
-        # Every shared input is checkpointed or cache-warm (the counters
-        # job above), and the four targets are independent tables, so the
-        # write jobs overlap instead of serializing four job latencies into
-        # the round's fixed cost. Crash-ordering is unchanged: the round
-        # only "happened" once the final checkpoint marker lands — resume()
-        # rolls back ANY table ahead of its checkpointed snapshot id,
-        # regardless of which subset of these commits survived (the resume
-        # suite exercises exactly that). Spark supports multi-threaded job
-        # submission; the tier update stays ordered AFTER the seen append
-        # inside its thread.
-        def _commit_seen() -> None:
-            self.seen_t.append(all_settled)
-            if self.tiers is not None:
-                if self.tiers.kind != "driver":
-                    # no driver-side key traffic: the hot tier is the seen
-                    # table's post-watermark slice; a flush (every
-                    # flush_every rounds) rebuilds blobs distributed — only
-                    # P blob rows reach the driver ('distributed', VERDICT
-                    # r1 #1), or zero blob bytes at all ('table': cogrouped
-                    # OR-merge straight into the blob snapshot table).
-                    self.tiers.end_round(rnd, self.seen_t, self.spark)
-                else:
-                    # legacy driver hot tier: the settled batch is bounded
-                    # by Σ host budgets → O(batch) driver-side inserts
-                    self.tiers.add_settled(
-                        [
-                            r["url_hash"]
-                            for r in all_settled.select("url_hash").collect()
-                        ]
-                    )
-                    self.tiers.end_round()
-
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            futures = [
-                pool.submit(self.fetch_log_t.append, all_log),
-                pool.submit(_commit_seen),
-                pool.submit(self.phash_seen_t.append, new_phash),
-                pool.submit(self.frontier_t.overwrite, new_frontier),
-            ]
-            for f in futures:
-                f.result()  # propagate the first failure
 
         # metrics + lineage are a handful of driver-resident rows — commit
         # them via the driver-local parquet path (zero Spark write jobs)
