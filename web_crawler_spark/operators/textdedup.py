@@ -26,10 +26,13 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Observation, Window
+from pyspark.sql.types import StructField, StructType
 from pyspark.sql import functions as F
 
 from ..functions.text import SIMHASH_BITS, md5_long, shingle_hashes
-from ..session import release_frame, truncate_plan
+import contextlib as _contextlib
+
+from ..session import release_frame, scoped_confs, truncate_plan
 
 DEFAULT_PERMS = 32
 # 4 bands × 8 rows: r=8 keeps moderate-similarity pairs (J≈0.4-0.5, which
@@ -271,13 +274,84 @@ def connected_components(
     singletons."""
     fwd = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     edges = truncate_plan(fwd.filter(F.col("u") != F.col("v")).distinct())
-    if edges.isEmpty():
+    n_edges = edges.count()  # cheap: counts the materialized checkpoint
+    if n_edges == 0:
         return edges.select(
             F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
         )
+    # Tiny-graph fast path: at ≤1M edges the edge list is ≤ ~16 MB — the
+    # same order as an AQE broadcast threshold — and a driver union-find
+    # beats ANY distributed formulation: each star-contraction round is
+    # ~10 stages of pure scheduling latency (measured 2-4s/round on a
+    # 19k-edge graph, >8s total), vs ~0.1s of driver CPU. The collect is
+    # BOUNDED by the measured edge count, not hoped-for smallness; above
+    # the bound the operator stays fully distributed, so the 10^9-edge
+    # regime never touches the driver.
+    if n_edges <= 1_000_000:
+        return _cc_driver_union_find(edges)
+    # Mid-size fast path: below ~5M edges every round is pure fixed
+    # cost, and the session's global parallelism-first AQE coalescing
+    # keeps each tiny shuffle at defaultParallelism tasks — ~6 shuffles x
+    # 32 near-empty tasks per round dominate wall time. Flipping to
+    # size-based coalescing for the loop's materialization points
+    # collapses those stages to a handful of tasks. Big graphs keep the
+    # global setting: compressed shuffle sizes under-estimate row volume,
+    # and under-partitioning a 10^9-edge round would idle the cluster
+    # (the reason parallelism-first is the global default — session.py).
+    small_graph = n_edges < 5_000_000
+    confs_scope = (
+        scoped_confs(
+            edges.sparkSession,
+            {
+                "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+            },
+        )
+        if small_graph
+        else _contextlib.nullcontext()
+    )
     prev_ckpt = edges
     fp_prev: tuple | None = None
     converged = False
+    with confs_scope:
+        return _cc_loop(edges, prev_ckpt, fp_prev, converged, max_iters)
+
+
+def _cc_driver_union_find(edges: DataFrame) -> DataFrame:
+    """Exact min-reachable components for a BOUNDED edge list (≤1M edges,
+    enforced by the caller's measured count): collect, union-find with
+    path compression keyed on the minimum member, return (doc_id,
+    cluster_id) for every node that appears in an edge — row-for-row the
+    same output as the distributed star-contraction loop (both are pinned
+    against the recursive-CTE oracles)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges.collect():
+        ru, rv = find(row[0]), find(row[1])
+        if ru != rv:
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo  # union by min ⇒ every root is its set's min
+    nodes = sorted(parent.keys() | {find(n) for n in parent})
+    out_schema = StructType(
+        [
+            StructField("doc_id", edges.schema[0].dataType, False),
+            StructField("cluster_id", edges.schema[1].dataType, False),
+        ]
+    )
+    return edges.sparkSession.createDataFrame(
+        [(n, find(n)) for n in nodes], schema=out_schema
+    )
+
+
+def _cc_loop(edges, prev_ckpt, fp_prev, converged, max_iters):
     for it_n in range(max_iters):
         # -- large-star: for each u, m = min(Γ⁺(u)); every neighbor v > u
         # re-points to m. Operates on the symmetric view (u sees both

@@ -15,6 +15,7 @@ One place to pin every conf that correctness or reproducibility depends on:
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 import os
 
 from pyspark.sql import SparkSession
@@ -75,6 +76,35 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
+
+
+@_contextlib.contextmanager
+def scoped_confs(spark, confs: dict):
+    """Temporarily set SQLConf entries, restoring previous values on exit.
+
+    The flip is visible to ANYTHING planning on the same session while the
+    scope is open (SQLConf is session-global), so callers either own a
+    private session (the crawl round) or hold the scope only around
+    materialization points of an operator that is not run concurrently
+    with other planning (the connected-components loop). Conf effects
+    land at EXECUTION time — a lazy frame built inside the scope but
+    acted on after it closes planes under the restored confs."""
+    conf = spark.conf
+    prev: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            prev[k] = conf.get(k)
+        except Exception:
+            prev[k] = None
+        conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
 
 
 def release_frame(df, deep: bool = False) -> None:
