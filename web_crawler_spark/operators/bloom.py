@@ -432,17 +432,24 @@ def probe_words_joined(
     answer as ``PartitionedBloom.probe`` / ``probe_cogrouped`` (pinned by
     tests); zero Python in the path.
 
-    Plan shape matters here: the k bit indexes are PRE-PROJECTED as columns
-    on the candidate side, below the join, so each xorshift/rotate/pmod
-    subtree is generated and evaluated exactly once per row. Evaluating
-    ``might_contain_expr`` directly above the join inlines each probe's
-    index subtree twice (word lookup + bit position), and through Spark's
-    generated code that duplication measured ~20× slower at k=10 than the
-    single-reference layout (the oversized expression crosses method-split
-    boundaries, defeating subexpression reuse and JIT inlining). The extra
-    k long columns live only inside the probe stage — projected right
-    before the (broadcast) join, dropped right after — so nothing wider
-    ever reaches a shuffle."""
+    Plan shape matters here, twice over:
+
+    - The k bit indexes are projected as columns in ONE projection, with
+      the bit tests referencing them as bare column refs in a SECOND
+      projection, so each xorshift/rotate/pmod subtree is generated and
+      evaluated exactly once per row. Inlining each index subtree into
+      ``might_contain`` directly (word lookup + bit position = two
+      references) measured ~20× slower at k=10 — the oversized expression
+      crosses codegen method-split boundaries, defeating subexpression
+      reuse and JIT inlining.
+    - That index projection sits ABOVE the join, so only ``__pkey`` (one
+      int) is added below it. While the blob table is MB-sized Catalyst
+      broadcasts and placement is moot; at the table design point the
+      join is a shuffle join, and an earlier layout that pre-projected
+      the k index longs below the join shipped 11×8 B/row of derivable
+      values through the candidate exchange — ~90 GB of shuffle at 10^9
+      rows that filled the sandbox disk. Columns derivable from the join
+      key must be computed after the exchange, never carried through it."""
     blobs = words_df.select(
         F.col("pkey").alias("__bpkey"), F.col("words").alias("__words")
     )
@@ -451,9 +458,7 @@ def probe_words_joined(
     x2 = x1.bitwiseXOR(F.shiftrightunsigned(x1, 7))
     h2 = x2.bitwiseXOR(F.shiftleft(x2, 17))
     sign_mask = (1 << 63) - 1
-    idx_cols: dict[str, Column] = {
-        "__pkey": F.pmod(h, F.lit(p)).cast("int")
-    }
+    idx_cols: dict[str, Column] = {}
     for i, r in enumerate(bloom_rotations(k)):
         rot = (
             h2
@@ -463,7 +468,7 @@ def probe_words_joined(
         idx_cols[f"__bi{i}"] = F.pmod(
             h.bitwiseXOR(rot).bitwiseAND(F.lit(sign_mask)), F.lit(m)
         )
-    cand = df.withColumns(idx_cols)
+    cand = df.withColumn("__pkey", F.pmod(h, F.lit(p)).cast("int"))
     test = F.lit(True)
     for i in range(k):
         bi = F.col(f"__bi{i}")  # bare column ref: free to reference twice
@@ -474,6 +479,7 @@ def probe_words_joined(
     mc = F.when(F.col("__words").isNull(), F.lit(False)).otherwise(test)
     return (
         cand.join(blobs, cand["__pkey"] == blobs["__bpkey"], "left")
+        .withColumns(idx_cols)
         .withColumn("might_contain", mc)
-        .drop("__bpkey", "__words", *idx_cols.keys())
+        .drop("__bpkey", "__words", "__pkey", *idx_cols.keys())
     )
