@@ -34,16 +34,45 @@ def main() -> None:
     job = sys.argv[1]
     rows = int(sys.argv[2])
     cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-    shuf = int(sys.argv[4]) if len(sys.argv) > 4 else 2 * cpus
+    # shuffle partitions = cpus, matching bench_scaling's protocol (the
+    # session default): measured 2.5x slower at 2*cpus on the 10^8 tiered
+    # round — two task waves per shuffle double the window-sort's constant
+    # and defeat single-wave AQE coalescing
+    shuf = int(sys.argv[4]) if len(sys.argv) > 4 else cpus
     job_fn, warm_floor = JOBS[job]
     spark = get_spark(f"bigshot-{job}-{cpus}", parallelism=cpus,
-                      shuffle_partitions=shuf)
-    # JIT + Python-worker + JVM-heap warmup (same rows//20 protocol as
-    # bench_scaling.py): the first heavy job in a fresh JVM pays ~4× for
-    # heap growth + codegen JIT (measured: 85s first vs 18.5s steady for
-    # the same 10^8-row window job), so a too-small warmup pass leaves the
-    # single timed shot partly cold
-    job_fn(spark, max(rows // 20, warm_floor))
+                      shuffle_partitions=shuf,
+                      # zstd shuffle blocks are ~35% smaller than lz4 on
+                      # the URL-heavy frontier rows; at 10^9 rows the map
+                      # outputs of the dedupe exchange otherwise exceed
+                      # the sandbox disk (both warmup and timed pass hold
+                      # their files until job end)
+                      extra_conf={"spark.io.compression.codec": "zstd"})
+    # JIT + Python-worker + JVM-heap warmup: a small pass first (codegen),
+    # then one FULL-SIZE untimed pass — the first full-scale job in a
+    # fresh JVM pays 3-8× for heap growth + GC ergonomics settling
+    # (measured: 90s → 29.7s → 28.0s for the same 10^8-row tiered round in
+    # one JVM), and a rows//20 warmup does not grow the heap anywhere near
+    # the full shuffle's footprint. The recorded number is the steady
+    # state a long-lived cluster actually runs at.
+    # ... except at 10^9+: two full-size passes hold ~2× the shuffle
+    # footprint on disk at once (the warmup's shuffle files outlive it
+    # until the context cleaner GCs) and blew the sandbox disk. A 10^8
+    # warmup grows the heap/JIT to effectively steady state; the timed
+    # pass is then conservative by the residual heap-growth delta only.
+    job_fn(spark, max(rows // 10, warm_floor))
+    if rows > 400_000_000:
+        # free the warmup's shuffle files before the timed pass: they are
+        # GC'd with their ShuffleDependency, and at 10^9 rows the timed
+        # shuffle plus lingering warmup files exceed the sandbox disk
+        import gc
+        import time as _t
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        _t.sleep(5)
+    else:
+        job_fn(spark, min(rows, 200_000_000))
     load0 = round(os.getloadavg()[0], 2)
     t0 = time.time()
     tput, n_sel = job_fn(spark, rows)
