@@ -194,8 +194,11 @@ def frontier_tiered_throughput(spark, n_rows: int = 5_000_000) -> tuple[float, i
     t0 = time.time()
     deduped = first_wins(frontier, "url_hash", [F.col("discovered_pos").asc()])
     positives = (
+        # probe the DEDUPED hashes — mirrors plans/round.py, which probes
+        # the post-dedupe best rows (ADVICE r4 #4: the bench must twin the
+        # plan it claims to measure, not do strictly-more probe work)
         probe_words_joined(
-            frontier.select("url_hash"), blobs, m=bf.m, k=bf.k, p=bf.p
+            deduped.select("url_hash"), blobs, m=bf.m, k=bf.k, p=bf.p
         )
         .filter(F.col("might_contain"))
         .select("url_hash")

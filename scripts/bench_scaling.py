@@ -203,7 +203,7 @@ def measure_job(job: str, n_rows: int) -> dict:
             "efficiency": round(weak_eff, 3),
         },
         "target": 0.8,
-        "pass": eff >= 0.8,
+        "pass_raw": eff >= 0.8,
     }
 
 
@@ -254,13 +254,25 @@ def main():
     fr = measure_job("frontier", N_ROWS)
     ft = measure_job("frontier_tiered", N_ROWS)
     im = measure_job("image", N_IMAGES)
-    for job in (fr, ft, im):
+    # Gate policy (ADVICE r4 #1): pass_raw and pass_normalized are separate
+    # fields, never OR-ed. Each job's headline verdict uses the gate that
+    # matches its regime: the two JVM/shuffle jobs must pass RAW (the
+    # calibration probe — a pure-CPU Python loop — does not model shuffle
+    # or memory-bandwidth pressure, so it cannot excuse them), while the
+    # image pipeline, whose hot stage IS pure-CPU Python in worker
+    # processes (the probe's exact regime), is gated on the
+    # platform-normalized number.
+    for job, gate in ((fr, "raw"), (ft, "raw"), (im, "platform_normalized")):
         raw_speedup = job["scaling_efficiency"] * (LEVELS[1] / LEVELS[0])
         job["scaling_efficiency_platform_normalized"] = round(
             min(raw_speedup / cal["speedup"], 1.25), 3
         )
         job["pass_normalized"] = (
             job["scaling_efficiency_platform_normalized"] >= 0.8
+        )
+        job["gate"] = gate
+        job["pass"] = (
+            job["pass_raw"] if gate == "raw" else job["pass_normalized"]
         )
     results, eff, weak_eff = fr["levels"], fr["scaling_efficiency"], fr["weak_scaling"]["efficiency"]
     n, n4 = results[LEVELS[0]], results[LEVELS[1]]
@@ -283,9 +295,15 @@ def main():
         "frontier": fr,
         "frontier_tiered": ft,
         "image_pipeline": im,
-        "pass": (fr["pass"] or fr["pass_normalized"])
-        and (ft["pass"] or ft["pass_normalized"])
-        and (im["pass"] or im["pass_normalized"]),
+        "gate_policy": "per-regime: raw gate for JVM/shuffle jobs "
+        "(frontier, frontier_tiered); platform-normalized gate only for "
+        "the pure-CPU-Python image pipeline (the calibration probe's "
+        "regime). pass_raw / pass_normalized reported separately, no OR.",
+        "pass_raw": fr["pass_raw"] and ft["pass_raw"] and im["pass_raw"],
+        "pass_normalized": fr["pass_normalized"]
+        and ft["pass_normalized"]
+        and im["pass_normalized"],
+        "pass": fr["pass"] and ft["pass"] and im["pass"],
     }
     md = f"""# BENCH — scaling evidence (north rule)
 
@@ -321,8 +339,13 @@ behavior). Each job below therefore reports efficiency two ways: RAW
 (speedup ÷ 4 — what this sandbox shows) and PLATFORM-NORMALIZED
 (speedup ÷ {cal['speedup']:.2f} — what transfers to a real N→4N cluster, where 4N
 executors bring 4× real cores; capped at 1.25 to keep memory-pressure
-superlinearity from overstating it). The north target ≥ 0.8 is met if
-either view passes.
+superlinearity from overstating it). Both numbers are reported for every
+job; the verdict is NOT their OR. Each job is gated by the view that
+matches its regime: the two JVM/shuffle jobs (frontier, tiered) must pass
+**raw** — the pure-CPU probe does not model shuffle or memory-bandwidth
+pressure, so it cannot excuse an engine regression there — while the image
+pipeline, whose hot stage is pure-CPU Python in worker processes (exactly
+the probe's regime), is gated on the **platform-normalized** view.
 
 ## Frontier-round scaling (shuffle axis)
 
@@ -331,8 +354,8 @@ either view passes.
 | local[{LEVELS[0]}]  (N)  | {n['sec']} | {n['urls_per_sec']:,} | 1.0× |
 | local[{LEVELS[1]}] (4N) | {n4['sec']} | {n4['urls_per_sec']:,} | {n4['urls_per_sec']/n['urls_per_sec']:.2f}× |
 
-**Strong-scaling efficiency N→4N: raw {eff:.3f}** (target ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"});
-**platform-normalized {fr['scaling_efficiency_platform_normalized']:.3f}**.
+**Strong-scaling efficiency N→4N: raw {eff:.3f}** (gate: raw ≥ 0.8 → {"PASS" if fr['pass'] else "FAIL"});
+**platform-normalized {fr['scaling_efficiency_platform_normalized']:.3f}** (reported, not gated on).
 
 Weak scaling (constant rows per core — local[{LEVELS[0]}] @ {N_ROWS // 4:,} rows vs
 local[{LEVELS[1]}] @ {N_ROWS:,}): {wk_n['sec']}s vs {n4['sec']}s,
@@ -361,9 +384,9 @@ across rounds in `TableSeenTiers`).
 | local[{LEVELS[0]}]  (N)  | {ftn['sec']} | {ftn['urls_per_sec']:,} | 1.0× |
 | local[{LEVELS[1]}] (4N) | {ftn4['sec']} | {ftn4['urls_per_sec']:,} | {ftn4['urls_per_sec']/ftn['urls_per_sec']:.2f}× |
 
-**Strong-scaling efficiency N→4N: raw {ft['scaling_efficiency']:.3f}** (target ≥ 0.8 →
+**Strong-scaling efficiency N→4N: raw {ft['scaling_efficiency']:.3f}** (gate: raw ≥ 0.8 →
 {"PASS" if ft['pass'] else "FAIL"}), **platform-normalized
-{ft['scaling_efficiency_platform_normalized']:.3f}**; weak scaling (constant rows/core):
+{ft['scaling_efficiency_platform_normalized']:.3f}** (reported, not gated on); weak scaling (constant rows/core):
 **{ft['weak_scaling']['efficiency']:.3f}**. `selected` equals the untiered round's
 ({ftn['selected']:,} = {n['selected']:,}) at both levels — the tier moves work
 (the anti-join probe side shrinks to the positives), never the answer.
@@ -385,10 +408,10 @@ Python work dominates the floor, as it does on any real corpus.
 | local[{LEVELS[0]}]  (N)  | {imn['sec']} | {imn['urls_per_sec']:,} | 1.0× |
 | local[{LEVELS[1]}] (4N) | {imn4['sec']} | {imn4['urls_per_sec']:,} | {imn4['urls_per_sec']/imn['urls_per_sec']:.2f}× |
 
-**Strong-scaling efficiency N→4N: raw {im['scaling_efficiency']:.3f}** (raw target →
-{"PASS" if im['pass'] else "FAIL"}), **platform-normalized
-{im['scaling_efficiency_platform_normalized']:.3f}** (≥ 0.8 →
-{"PASS" if im['pass_normalized'] else "FAIL"}) — the decode stage is pure-CPU
+**Strong-scaling efficiency N→4N: raw {im['scaling_efficiency']:.3f}** (reported; raw ≥ 0.8
+would read {"PASS" if im['pass_raw'] else "FAIL"} on this host), **platform-normalized
+{im['scaling_efficiency_platform_normalized']:.3f}** (gate for this job: normalized ≥ 0.8 →
+{"PASS" if im['pass'] else "FAIL"}) — the decode stage is pure-CPU
 Python, exactly the calibration probe's regime, so the raw number tracks
 the VM ceiling, not engine overhead; weak scaling (constant images/core):
 **{im['weak_scaling']['efficiency']:.3f}**. The survivor count is value-identical at

@@ -53,14 +53,12 @@ def test_pair_stream_admits_curated_first_wins(spark, tmp_path):
     batch near-dup collapses to its lexicographic-min representative, and a
     later batch's near-dup of an ALREADY-ADMITTED pair is rejected
     (first-admitted-wins across batches)."""
+    from tests.conftest import leaked_blocks, storage_block_ids
+
     pairs_dir = _make_stream_dirs(tmp_path)
     table = SnapshotTable(str(tmp_path / "admitted"))
 
-    def block_ids():
-        sc = spark.sparkContext
-        return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
-
-    before = block_ids()
+    before = storage_block_ids(spark)
     q = admit_pair_stream(
         spark, str(pairs_dir), table, str(tmp_path / "ckpt"), available_now=True
     )
@@ -74,8 +72,9 @@ def test_pair_stream_admits_curated_first_wins(spark, tmp_path):
     assert got["imgA"]["lang"] == "en" and got["imgA"]["ws_tokens"] == 15
     # a long-running stream must not accrue storage across micro-batches:
     # every per-batch checkpoint (metrics frame, component labels) is
-    # released once the admitted append materializes
-    leaked = block_ids() - before
+    # released once the admitted append materializes (releases are
+    # non-blocking, so poll with a deadline rather than snapshot-assert)
+    leaked = leaked_blocks(spark, before)
     assert not leaked, f"stream leaked storage blocks: {leaked}"
 
 

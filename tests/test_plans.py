@@ -184,11 +184,9 @@ def test_round_releases_all_storage_blocks(spark, tmp_path):
         [(i, u) for i, u in enumerate(seeds.url)], ["row_index", "url"]
     )
 
-    def block_ids():
-        sc = spark.sparkContext
-        return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    from tests.conftest import leaked_blocks, storage_block_ids
 
-    before = block_ids()
+    before = storage_block_ids(spark)
     run = CrawlRun(
         spark,
         str(tmp_path / "run"),
@@ -200,7 +198,7 @@ def test_round_releases_all_storage_blocks(spark, tmp_path):
     )
     run.start(seeds_df)
     run.run()
-    leaked = block_ids() - before
+    leaked = leaked_blocks(spark, before)
     assert not leaked, f"storage blocks leaked by the round loop: {leaked}"
 
     # follow_links=False: ``discovered`` is then a PERSISTED empty local
@@ -217,7 +215,7 @@ def test_round_releases_all_storage_blocks(spark, tmp_path):
     )
     run2.start(seeds_df)
     run2.run()
-    leaked = block_ids() - before
+    leaked = leaked_blocks(spark, before)
     assert not leaked, f"blocks leaked with follow_links=False: {leaked}"
 
     # pagerank mode: only the run-lifetime rank table may survive a round,
@@ -233,10 +231,10 @@ def test_round_releases_all_storage_blocks(spark, tmp_path):
     )
     run3.start(seeds_df)
     run3.run()
-    leaked = block_ids() - before
+    leaked = leaked_blocks(spark, before, allow=1)
     assert len(leaked) <= 1, f"pagerank mode may retain only _rank_df: {leaked}"
     run3.close()
-    leaked = block_ids() - before
+    leaked = leaked_blocks(spark, before)
     assert not leaked, f"blocks leaked in pagerank mode: {leaked}"
 
 

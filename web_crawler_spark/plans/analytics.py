@@ -3599,74 +3599,9 @@ SELECT media_id, frame_idx, n_bytes, sha256 FROM read_parquet('{EXPECTED_FRAMES}
 # When adding an entry, insert it at the TOP. After each round, re-rotate
 # against the new CORRECTNESS_r{N}.json so nothing silently ages out.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # --- tier 1: no driver-green row before r4 ------------------------------
-    # crawl engine + membership tiers, checked against the independent
-    # pure-Python oracle crawler / numpy bloom twin (read_parquet oracles)
-    "crawl_fetch_log": (q_crawl_fetch_log, SQL_CRAWL_FETCH_LOG),
-    "crawl_metrics": (q_crawl_metrics, SQL_CRAWL_METRICS),
-    "crawl_lineage": (q_crawl_lineage, SQL_CRAWL_LINEAGE),
-    "bloom_prefilter_stats": (q_bloom_prefilter_stats, SQL_BLOOM_PREFILTER_STATS),
-    # never driver-checked as of r3
-    "pair_curation": (q_pair_curation, SQL_PAIR_CURATION),
-    "media_features": (q_media_features, SQL_MEDIA_FEATURES),
-    "zip_archives": (q_zip_archives, SQL_ZIP_ARCHIVES),
-    "saved_jobs_crud": (q_saved_jobs_crud, SQL_SAVED_JOBS_CRUD),
-    "block_inline_render": (q_block_inline_render, SQL_BLOCK_INLINE_RENDER),
-    # green in r2 only (slipped past the 50-entry window in r3)
-    "combined_concat": (q_combined_concat, SQL_COMBINED_CONCAT),
-    "output_naming": (q_output_naming, SQL_OUTPUT_NAMING),
-    "title_fallback": (q_title_fallback, SQL_TITLE_FALLBACK),
-    "scoped_extract": (q_scoped_extract, SQL_SCOPED_EXTRACT),
-    "robots_parse": (q_robots_parse, SQL_ROBOTS_PARSE),
-    "link_pagerank": (q_link_pagerank, SQL_LINK_PAGERANK),
-    # --- tier 2: green in r3 only -------------------------------------------
-    # training-data pipeline: deterministic sampling (shuffle-free,
-    # partitioning-invariant — the 100 TB-safe sampling shape)
-    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
-    "hash_split": (q_hash_split, SQL_HASH_SPLIT),
-    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
-    "decontamination": (q_decontamination, SQL_DECONTAMINATION),
-    "line_dedupe": (q_line_dedupe, SQL_LINE_DEDUPE),
-    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
-    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
-    "url_traps": (q_url_traps, SQL_URL_TRAPS),
-    "exact_substring": (q_exact_substring, SQL_EXACT_SUBSTRING),
-    "importance_scores": (q_importance_scores, SQL_IMPORTANCE_SCORES),
-    "robots_sitemaps": (q_robots_sitemaps, SQL_ROBOTS_SITEMAPS),
-    "corpus_mix": (q_corpus_mix, SQL_CORPUS_MIX),
-    # multimodal plumbing
-    "image_phash_neardup": (q_image_phash_neardup, SQL_IMAGE_PHASH_NEARDUP),
-    "image_phash_clusters": (q_image_phash_clusters, SQL_IMAGE_PHASH_CLUSTERS),
-    "media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
-    "video_frame_sample": (q_video_frame_sample, SQL_VIDEO_FRAME_SAMPLE),
-    "image_curation": (q_image_curation, SQL_IMAGE_CURATION),
-    # --- tier 3: green in both r2 and r3 (freshest of the double-green) -----
-    "per_key_budget": (q_per_key_budget, SQL_PER_KEY_BUDGET),
-    "frontier_schedule": (q_frontier_schedule, SQL_FRONTIER_SCHEDULE),
-    # training-data pipeline: dedup
-    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
-    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
-    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
-    "dedup_prune": (q_dedup_prune, SQL_DEDUP_PRUNE),
-    "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
-    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
-    # training-data pipeline: text analysis
-    "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
-    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
-    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
-    "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
-    # training-data pipeline: similarity search
-    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
-    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
-    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
-    "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
-    "embedding_neardup_clusters": (
-        q_embedding_neardup_clusters,
-        SQL_EMBEDDING_NEARDUP_CLUSTERS,
-    ),
-    "media_meta": (q_media_meta, SQL_MEDIA_META),
-    # --- rotated out (positions 51+): double-green in r2+r3, simplest plans -
-    # §2 crawl-operator families over TPC-H-ish tables
+    # --- tier 1 (r5 rotation): absent from CORRECTNESS_r04's 50-entry
+    # window — last driver-green in r3, the stalest evidence in the
+    # registry (r4 VERDICT "Next round" #4 names exactly these 15) -------
     "agg_link_stats": (q_agg_link_stats, SQL_AGG_LINK_STATS),
     "agg_success_rate": (q_agg_success_rate, SQL_AGG_SUCCESS_RATE),
     "topk_freq": (q_topk_freq, SQL_TOPK_FREQ),
@@ -3682,4 +3617,61 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "content_stats": (q_content_stats, SQL_CONTENT_STATS),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    # --- tier 2: green in r4 only (first driver check last round) -------
+    "crawl_fetch_log": (q_crawl_fetch_log, SQL_CRAWL_FETCH_LOG),
+    "crawl_metrics": (q_crawl_metrics, SQL_CRAWL_METRICS),
+    "crawl_lineage": (q_crawl_lineage, SQL_CRAWL_LINEAGE),
+    "bloom_prefilter_stats": (q_bloom_prefilter_stats, SQL_BLOOM_PREFILTER_STATS),
+    "pair_curation": (q_pair_curation, SQL_PAIR_CURATION),
+    "media_features": (q_media_features, SQL_MEDIA_FEATURES),
+    "zip_archives": (q_zip_archives, SQL_ZIP_ARCHIVES),
+    "saved_jobs_crud": (q_saved_jobs_crud, SQL_SAVED_JOBS_CRUD),
+    "block_inline_render": (q_block_inline_render, SQL_BLOCK_INLINE_RENDER),
+    "combined_concat": (q_combined_concat, SQL_COMBINED_CONCAT),
+    "output_naming": (q_output_naming, SQL_OUTPUT_NAMING),
+    "title_fallback": (q_title_fallback, SQL_TITLE_FALLBACK),
+    "scoped_extract": (q_scoped_extract, SQL_SCOPED_EXTRACT),
+    "robots_parse": (q_robots_parse, SQL_ROBOTS_PARSE),
+    "link_pagerank": (q_link_pagerank, SQL_LINK_PAGERANK),
+    # --- tier 3: double-green (r3 AND r4) — ride on accumulated evidence;
+    # the last 15 of these fall outside the 50-entry window this round ---
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "hash_split": (q_hash_split, SQL_HASH_SPLIT),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "decontamination": (q_decontamination, SQL_DECONTAMINATION),
+    "line_dedupe": (q_line_dedupe, SQL_LINE_DEDUPE),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "url_traps": (q_url_traps, SQL_URL_TRAPS),
+    "exact_substring": (q_exact_substring, SQL_EXACT_SUBSTRING),
+    "importance_scores": (q_importance_scores, SQL_IMPORTANCE_SCORES),
+    "robots_sitemaps": (q_robots_sitemaps, SQL_ROBOTS_SITEMAPS),
+    "corpus_mix": (q_corpus_mix, SQL_CORPUS_MIX),
+    "image_phash_neardup": (q_image_phash_neardup, SQL_IMAGE_PHASH_NEARDUP),
+    "image_phash_clusters": (q_image_phash_clusters, SQL_IMAGE_PHASH_CLUSTERS),
+    "media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
+    "video_frame_sample": (q_video_frame_sample, SQL_VIDEO_FRAME_SAMPLE),
+    "image_curation": (q_image_curation, SQL_IMAGE_CURATION),
+    "per_key_budget": (q_per_key_budget, SQL_PER_KEY_BUDGET),
+    "frontier_schedule": (q_frontier_schedule, SQL_FRONTIER_SCHEDULE),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "dedup_prune": (q_dedup_prune, SQL_DEDUP_PRUNE),
+    "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
+    "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "embedding_neardup_clusters": (
+        q_embedding_neardup_clusters,
+        SQL_EMBEDDING_NEARDUP_CLUSTERS,
+    ),
+    "media_meta": (q_media_meta, SQL_MEDIA_META),
 }
+

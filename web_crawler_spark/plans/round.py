@@ -103,7 +103,10 @@ class CrawlConfig:
     # negatives skip the exact anti-join, positives are confirmed against it
     use_bloom: bool = False
     bloom_expected_keys: int = 1 << 20
-    bloom_partitions: int = 16
+    # None → derived from bloom_expected_keys so blobs stay ≤32 MiB at any
+    # design point (10^10 keys ⇒ P=1024, ~17 MB blobs); an explicit value
+    # that would give >64 MiB blobs raises at tier construction
+    bloom_partitions: int | None = None
     hot_buckets: int = 1 << 12
     flush_every: int = 4
     # frontier priority for discovered rows: 'depth' (reference band order)

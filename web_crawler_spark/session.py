@@ -107,7 +107,7 @@ def scoped_confs(spark, confs: dict):
                 conf.set(k, v)
 
 
-def release_frame(df, deep: bool = False) -> None:
+def release_frame(df, deep: bool = False, blocking: bool = False) -> None:
     """Free a materialized frame's storage deterministically.
 
     ``DataFrame.unpersist()`` only drops CacheManager entries, so it is a
@@ -132,24 +132,30 @@ def release_frame(df, deep: bool = False) -> None:
     frames): a frame can hold BOTH storages at once — e.g.
     ``createDataFrame([]).persist()`` analyzes to a LogicalRDD root yet
     its materialization lives in the CacheManager — and releasing only
-    the RDD blocks would strand the cache entry."""
+    the RDD blocks would strand the cache entry.
+
+    ``blocking=True`` waits for the block drop to complete before
+    returning — for callers whose contract is "storage is back to
+    baseline when I return" (the streaming end-of-batch release). The
+    default stays non-blocking: per-round crawl cleanup overlaps the
+    drop with the next round's work."""
     try:
-        _release_plan(df._jdf.queryExecution().analyzed(), deep)
+        _release_plan(df._jdf.queryExecution().analyzed(), deep, blocking)
     except Exception:  # Connect or API drift: the cache path still runs
         pass
-    df.unpersist()
+    df.unpersist(blocking)
 
 
-def _release_plan(plan, deep: bool) -> bool:
+def _release_plan(plan, deep: bool, blocking: bool = False) -> bool:
     if plan.getClass().getSimpleName() == "LogicalRDD":
-        plan.rdd().unpersist(False)
+        plan.rdd().unpersist(blocking)
         return True
     if not deep:
         return False
     hit = False
     it = plan.children().iterator()
     while it.hasNext():
-        hit = _release_plan(it.next(), True) or hit
+        hit = _release_plan(it.next(), True, blocking) or hit
     return hit
 
 
