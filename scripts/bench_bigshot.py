@@ -20,6 +20,56 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402
 from web_crawler_spark.session import get_spark  # noqa: E402
 
+# ---- quiet-window gate: the same criterion bench_scaling's CHILD applies
+# to every scaling run (< 0.5 foreign busy cores over a 5 s probe; the
+# post-run record carries the foreign CPU measured DURING the run).
+
+HZ = os.sysconf("SC_CLK_TCK")
+
+
+def total_busy_jiffies() -> int:
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    return sum(vals) - vals[3] - vals[4]  # everything except idle+iowait
+
+
+def own_tree_jiffies() -> int:
+    """utime+stime+cutime+cstime of this process and every live
+    descendant (cutime/cstime catch reaped pyspark workers)."""
+    me = os.getpid()
+    kids: dict[int, list[int]] = {}
+    own: dict[int, int] = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                st = f.read().rsplit(")", 1)[1].split()
+        except OSError:
+            continue
+        ppid = int(st[1])
+        own[int(pid)] = int(st[11]) + int(st[12]) + int(st[13]) + int(st[14])
+        kids.setdefault(ppid, []).append(int(pid))
+    total, stack = 0, [me]
+    while stack:
+        p = stack.pop()
+        total += own.get(p, 0)
+        stack.extend(kids.get(p, []))
+    return total
+
+
+def wait_quiet(threshold: float = 0.5, probe_s: float = 5, max_wait: float = 600):
+    t0 = time.time()
+    while True:
+        b0, o0 = total_busy_jiffies(), own_tree_jiffies()
+        time.sleep(probe_s)
+        foreign = max(
+            0.0, (total_busy_jiffies() - b0) - (own_tree_jiffies() - o0)
+        ) / HZ / probe_s
+        if foreign < threshold or time.time() - t0 > max_wait:
+            return round(os.getloadavg()[0], 2)
+
 SHOTS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "recorded_shots.json")
 
@@ -73,15 +123,34 @@ def main() -> None:
         _t.sleep(5)
     else:
         job_fn(spark, min(rows, 200_000_000))
-    load0 = round(os.getloadavg()[0], 2)
+    # same quiet-window gate as bench_scaling (BENCH.md's mandate for
+    # scaling evidence, VERDICT r4 Missing #2): wait for < 0.5 foreign
+    # busy cores over a 5 s probe, and measure the foreign load DURING
+    # the run so the record carries its own conditions
+    load0 = wait_quiet()
+    b0, o0 = total_busy_jiffies(), own_tree_jiffies()
     t0 = time.time()
     tput, n_sel = job_fn(spark, rows)
     dt = time.time() - t0
+    foreign_cores = round(
+        max(0.0, (total_busy_jiffies() - b0) - (own_tree_jiffies() - o0))
+        / HZ
+        / dt,
+        2,
+    )
+    warm_note = (
+        f"warm protocol: rows//10 JIT pass + "
+        f"{'10^8-row' if rows > 400_000_000 else 'full-size (<=2e8)'} "
+        f"untimed warmup pass, timed pass is warm steady-state"
+    )
     rec = {
         "job": job, "rows": rows, "sec": round(dt, 2),
         "urls_per_sec": round(tput), "selected": n_sel,
-        "note": f"local[{cpus}], {shuf} shuffle partitions, 1-min load "
-                f"{load0} at start",
+        "foreign_busy_cores_during_run": foreign_cores,
+        "note": f"local[{cpus}], {shuf} shuffle partitions, quiet-window "
+                f"gated (<0.5 foreign busy cores / 5s probe), "
+                f"{foreign_cores} foreign busy cores during run, 1-min "
+                f"load {load0} at start; {warm_note}",
     }
     try:
         with open(SHOTS_PATH) as f:
@@ -93,6 +162,7 @@ def main() -> None:
     shots.append(rec)
     with open(SHOTS_PATH, "w") as f:
         json.dump(shots, f, indent=1)
+        f.write("\n")  # keep the file POSIX-text (ADVICE r4 #5)
     print(json.dumps(rec))
 
 

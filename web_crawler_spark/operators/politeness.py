@@ -302,10 +302,14 @@ def select_per_host(
     ).drop("host_budget")
 
 
+FETCH_SEQ_SAMPLE_MOD = 64
+
+
 def assign_fetch_seq(
     batch: DataFrame,
     num_partitions: int | None = None,
-    sample_mod: int = 64,
+    sample_mod: int = FETCH_SEQ_SAMPLE_MOD,
+    sample_rows=None,
 ) -> DataFrame:
     """Deterministic total order within the round: fetch_seq by
     (priority DESC, url_hash ASC) — the global rank, computed two-phase so
@@ -331,6 +335,13 @@ def assign_fetch_seq(
     the single-window form regardless of boundary placement. Driver cost is
     the boundary sample only: O(|batch| / sample_mod) rows, vs O(|batch|)
     rows through ONE task for the naive global window.
+
+    ``sample_rows``: the caller may supply the boundary sample directly —
+    any sequence of (priority, url_hash) rows equal to the pmod filter's
+    result (the crawl round rides it on the ``selected`` checkpoint as an
+    observed collect_list, saving one sequential job per round). The
+    sample is a pure function of row values either way, so supplied vs
+    collected boundaries are identical and so is fetch_seq.
     """
     spark = batch.sparkSession
     if num_partitions is None:
@@ -340,7 +351,9 @@ def assign_fetch_seq(
     bucket = F.lit(0)
     if num_partitions > 1:
         sample = (
-            batch.select("priority", "url_hash")
+            list(sample_rows)
+            if sample_rows is not None
+            else batch.select("priority", "url_hash")
             .filter(F.pmod(F.col("url_hash"), F.lit(sample_mod)) == 0)
             .collect()
         )
