@@ -358,3 +358,34 @@ def test_crawl_delay_longer_than_window_fetches_every_nth_round(spark):
     for rnd, want in [(1, 1), (2, 0), (3, 0), (4, 1)]:
         period = -(-180_000 // 60_000)
         assert (1 if (rnd - 1) % period == 0 else 0) == want
+
+
+def test_fetch_seq_observed_sample_equals_collected(spark, frontier):
+    """The crawl round supplies the boundary sample as an observed
+    collect_list riding the selected checkpoint instead of a separate
+    collect (one fewer sequential job per round). The sample is a pure
+    function of row values, so supplied-vs-collected boundaries — and
+    therefore fetch_seq — must be identical."""
+    from pyspark.sql import Observation
+
+    from web_crawler_spark.operators.politeness import FETCH_SEQ_SAMPLE_MOD
+
+    obs = Observation("sample")
+    ckpt = frontier.observe(
+        obs,
+        F.collect_list(
+            F.when(
+                F.pmod(F.col("url_hash"), F.lit(FETCH_SEQ_SAMPLE_MOD)) == 0,
+                F.struct("priority", "url_hash"),
+            )
+        ).alias("sample"),
+    ).localCheckpoint(eager=True)
+    supplied = sorted(
+        map(tuple, assign_fetch_seq(ckpt, num_partitions=8, sample_rows=obs.get["sample"])
+            .select("fetch_seq", "url").collect())
+    )
+    collected = sorted(
+        map(tuple, assign_fetch_seq(frontier, num_partitions=8)
+            .select("fetch_seq", "url").collect())
+    )
+    assert supplied == collected
