@@ -306,15 +306,20 @@ def test_words_probe_keeps_index_projection_uncollapsed(spark):
     probe = spark.range(10).selectExpr("xxhash64(id) AS url_hash")
     out = probe_words_joined(probe, words, m=bf.m, k=bf.k, p=bf.p)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "__bb#" in plan, (
+        "__bb (block base) alias collapsed out of the optimized plan — "
+        "the block pmod would re-evaluate once per index column"
+    )
     for i in range(bf.k):
         assert f"__bi{i}#" in plan, (
             f"__bi{i} alias collapsed out of the optimized plan — "
             "CollapseProject merged the index projection into the bit "
             "tests; every index subtree now evaluates twice per row"
         )
+    # blocked family: exactly ONE block pmod + one pkey pmod per row — the
+    # k in-block positions are plain AND-masks referencing __bb
     n_pmod = plan.count("pmod(")
-    assert n_pmod == bf.k + 1, (
-        f"expected {bf.k} index pmods + 1 pkey pmod, found {n_pmod}: "
-        "index subtrees are being duplicated (or folded away) in the "
-        "optimized plan"
+    assert n_pmod == 2, (
+        f"expected 1 block pmod + 1 pkey pmod, found {n_pmod}: index "
+        "subtrees are being duplicated (or folded away) in the optimized plan"
     )

@@ -76,11 +76,12 @@ class PartitionedBloom:
     """P independent Bloom blobs keyed by pmod(url_hash, P)."""
 
     def __init__(self, n_partitions: int, bits_per_partition: int, n_hashes: int):
-        # round m up to a multiple of 64 so a blob is viewable as whole
-        # little-endian int64 words (the JVM-probe layout); the pad bits are
-        # never set, so they never flip a test
-        if bits_per_partition % 64:
-            bits_per_partition += 64 - bits_per_partition % 64
+        # round m up to a multiple of 512 so a blob is whole little-endian
+        # int64 words (the JVM-probe layout) AND whole 512-bit blocks (the
+        # cache-line-blocked family); pad bits are never set, so they never
+        # flip a test
+        if bits_per_partition % 512:
+            bits_per_partition += 512 - bits_per_partition % 512
         self.p = n_partitions
         self.m = bits_per_partition
         self.k = n_hashes
@@ -442,16 +443,24 @@ def might_contain_expr(hash_col, words_col, *, m: int, k: int):
     x2 = x1.bitwiseXOR(F.shiftrightunsigned(x1, 7))
     h2 = x2.bitwiseXOR(F.shiftleft(x2, 17))
     sign_mask = (1 << 63) - 1
-    test = F.lit(True)
-    for r in bloom_rotations(k):
-        rot = (
+    rots = bloom_rotations(k + 1)
+
+    def rotated(r):
+        return (
             h2
             if r == 0
             else F.shiftleft(h2, r).bitwiseOR(F.shiftrightunsigned(h2, 64 - r))
         )
-        idx = F.pmod(
-            h.bitwiseXOR(rot).bitwiseAND(F.lit(sign_mask)), F.lit(m)
-        )
+
+    # blocked family: rotation 0 picks the 512-bit block, rotations 1..k
+    # the in-block bit positions (hashing.bloom_indices, term for term)
+    base = F.pmod(
+        h.bitwiseXOR(rotated(rots[0])).bitwiseAND(F.lit(sign_mask)),
+        F.lit(m // 512),
+    ) * F.lit(512)
+    test = F.lit(True)
+    for r in rots[1:]:
+        idx = base + h.bitwiseXOR(rotated(r)).bitwiseAND(F.lit(511))
         word = F.element_at(w, F.shiftrightunsigned(idx, 6).cast("int") + 1)
         test = test & (F.getbit(word, idx.bitwiseAND(F.lit(63))) == 1)
     return F.when(w.isNull(), F.lit(False)).otherwise(test)
@@ -497,15 +506,27 @@ def probe_words_joined(
     x2 = x1.bitwiseXOR(F.shiftrightunsigned(x1, 7))
     h2 = x2.bitwiseXOR(F.shiftleft(x2, 17))
     sign_mask = (1 << 63) - 1
-    idx_cols: dict[str, Column] = {}
-    for i, r in enumerate(bloom_rotations(k)):
-        rot = (
+    rots = bloom_rotations(k + 1)
+
+    def rotated(r):
+        return (
             h2
             if r == 0
             else F.shiftleft(h2, r).bitwiseOR(F.shiftrightunsigned(h2, 64 - r))
         )
-        idx_cols[f"__bi{i}"] = F.pmod(
-            h.bitwiseXOR(rot).bitwiseAND(F.lit(sign_mask)), F.lit(m)
+
+    # blocked family (hashing.bloom_indices, term for term): __bb is the
+    # key's 512-bit-block base index — projected ONCE, referenced by all k
+    # in-block index columns as a bare ref — and the k bit positions are
+    # plain AND-masks, so the whole index block costs one pmod per row
+    base_col = F.pmod(
+        h.bitwiseXOR(rotated(rots[0])).bitwiseAND(F.lit(sign_mask)),
+        F.lit(m // 512),
+    ) * F.lit(512)
+    idx_cols: dict[str, Column] = {}
+    for i, r in enumerate(rots[1:]):
+        idx_cols[f"__bi{i}"] = F.col("__bb") + h.bitwiseXOR(rotated(r)).bitwiseAND(
+            F.lit(511)
         )
     cand = df.withColumn("__pkey", F.pmod(h, F.lit(p)).cast("int"))
     test = F.lit(True)
@@ -518,7 +539,28 @@ def probe_words_joined(
     mc = F.when(F.col("__words").isNull(), F.lit(False)).otherwise(test)
     return (
         cand.join(blobs, cand["__pkey"] == blobs["__bpkey"], "left")
+        .withColumn("__bb", base_col)
         .withColumns(idx_cols)
-        .withColumn("might_contain", mc)
-        .drop("__bpkey", "__words", "__pkey", *idx_cols.keys())
+        .withColumn("might_contain", _pushdown_fence(mc))
+        .drop("__bpkey", "__words", "__pkey", "__bb", *idx_cols.keys())
     )
+
+
+def _pushdown_fence(c: Column) -> Column:
+    """Value-identity wrapper that marks ``c`` NON-DETERMINISTIC so a
+    consumer's ``.filter(...)`` cannot be pushed through the projection.
+
+    ``shuffle`` over a one-element array is the identity on values but is
+    flagged non-deterministic, which stops ``PushDownPredicate`` from
+    substituting the projected aliases into the Filter condition. Without
+    the fence, ``probed.filter("might_contain")`` — the round's and the
+    bench's actual consumption — collapses the whole two-Project index
+    layout into ONE Filter expression in which every index subtree
+    appears twice (word lookup + bit position) and the k bit tests
+    re-inline the full hash mix each: measured **1.7s → 35.5s** on a
+    10^8-row probe at k=10 (the same ~20x cliff the two-Project layout
+    was built against, resurfacing through the filter path; k ≤ 3 stays
+    under the generated-code threshold, k ≥ 4 falls off it). The fence
+    keeps the tests evaluated ONCE, in their Project, with the Filter
+    reading the materialized boolean."""
+    return F.element_at(F.shuffle(F.array(c)), 1)
