@@ -418,6 +418,39 @@ the VM ceiling, not engine overhead; weak scaling (constant images/core):
 both levels ({imn['selected']:,} = {imn4['selected']:,}) — the prune is deterministic
 across parallelism, same as the frontier's selected batch.
 
+## Tiered-probe cost analysis (round 5 — closes the r3/r4 standing weak)
+
+Stage attribution of the tiered round at 10^8 rows (warm, isolated, each
+component noop-sunk): scan+hash 1.9s; dedupe window 42s*; blob equi-join
+WITHOUT bit tests 1.85s; probe with bit tests k=1→1.7s, k=3→1.8s,
+**k=4→29s, k=10→40s** — a 16-20x cliff between k=3 and k=4, identical
+under SMJ, shuffle-hash, and a forced broadcast join, and barely moved by
+codegen configs (methodSplitThreshold, subexpressionElimination,
+wholeStage off). The tell: projecting `might_contain` costs 1.7s while
+FILTERING on it costs 35.5s — `PushDownPredicate` substitutes the
+projected index aliases into the Filter condition, re-inlining every
+index subtree twice and the full hash mix per bit test (the same cliff
+the two-Project layout was built against, resurfacing through the filter
+consumer). Fixed by a value-identity non-deterministic fence on
+`might_contain` (bloom.py `_pushdown_fence`): filter path 35.5s → 2.0s.
+The family is now also cache-line-blocked (all k probes inside one
+512-bit block), the layout that stays ~1 memory fetch per key when the
+design-point 17 MB blobs no longer fit cache. Result (all quiet-window gated, foreign load recorded per shot): tiered
+10^8 went 66s (3.7x untiered) → 21.4s (**1.20x untiered**, bar ≤1.5x);
+tiered 10^9 went 994s → 434.1s, vs untiered 10^9 at 382.3s = **1.14x** —
+the tier's own cost is flat-to-shrinking with scale. Per-row cost does
+grow 10^8→10^9 (untiered 2.15x, tiered 2.02x — the TIERED job grows
+SLOWER), and the growth is shared by both jobs: at 10^9 the round's
+~45 GB of shuffle leaves the single box's page-cache regime and pays
+real disk I/O. Nothing in the tier grows with the seen table (the open
+r4 question): blob count and blob size are fixed by the sizing, the
+probe is one pass, and the exact confirm's semi-join sides scale with
+seen ∩ batch. A 1000-executor cluster holds 1/1000th of the shuffle per
+node and stays in cache — the 10^8 per-row point is the cluster number.
+(*the dedupe-window isolated number includes writing its full 10^8-row
+output to the noop sink; in the round the window's group-limit keeps its
+output at the deduped set.)
+
 ## Large-scale single-shot (recorded)
 
 Single timed passes at 10^9 rows (`scripts/bench_bigshot.py`, results kept
