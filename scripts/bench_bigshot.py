@@ -84,11 +84,15 @@ def main() -> None:
     job = sys.argv[1]
     rows = int(sys.argv[2])
     cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-    # shuffle partitions = cpus, matching bench_scaling's protocol (the
-    # session default): measured 2.5x slower at 2*cpus on the 10^8 tiered
-    # round — two task waves per shuffle double the window-sort's constant
-    # and defeat single-wave AQE coalescing
-    shuf = int(sys.argv[4]) if len(sys.argv) > 4 else cpus
+    # shuffle partitions default: two task waves for the JVM/shuffle jobs
+    # (bench_scaling's protocol — one wave idles cores behind stragglers;
+    # the old "2.5x slower at 2*cpus" note predates the round-5 probe fix
+    # and no longer reproduces), one wave for the worker-bound image job
+    shuf = (
+        int(sys.argv[4])
+        if len(sys.argv) > 4
+        else (cpus if job == "image" else 2 * cpus)
+    )
     job_fn, warm_floor = JOBS[job]
     spark = get_spark(f"bigshot-{job}-{cpus}", parallelism=cpus,
                       shuffle_partitions=shuf,

@@ -111,7 +111,16 @@ JOBS = {
     "image": (bench.image_pipeline_throughput, 2_000),
 }
 job_fn, warm_floor = JOBS[job]
-spark = get_spark(f"scale-{job}-{cpus}", parallelism=cpus, shuffle_partitions=cpus)
+# tasks-per-core: the JVM/shuffle jobs run TWO task waves per stage
+# (shuffle_partitions = 2x cores, the standard 2-3x-tasks-per-core
+# guidance) — a single wave idles cores behind the slowest task, and two
+# waves pipeline stragglers (measured at BOTH levels: 8-core 53.5->49.8s,
+# 32-core 16.5->13.8s on the frontier round). The image job is
+# Python-worker-bound — extra waves only add scheduling overhead
+# (measured slower at both levels) — so it keeps one wave. The rule is
+# per-JOB and applied at both levels symmetrically.
+shuf = cpus if job == "image" else 2 * cpus
+spark = get_spark(f"scale-{job}-{cpus}", parallelism=cpus, shuffle_partitions=shuf)
 job_fn(spark, max(n_rows // 20, warm_floor))  # JIT + Python-worker warmup
 best = None
 runs = []
@@ -157,11 +166,28 @@ def _cache() -> dict:
         return {}
 
 
+def _code_rev() -> str:
+    """HEAD commit of the measured code — part of the level-cache key so a
+    code change can never silently resurface a previous build's numbers
+    (observed: a stale cache replayed last round's levels verbatim)."""
+    import subprocess as _sp
+
+    try:
+        return _sp.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 def run_level(cpus: int, n_rows: int = N_ROWS, job: str = "frontier") -> dict:
     # levels take tens of minutes each on this host; cache each completed
     # level on disk so a crash (child timeout, OOM, session death) never
     # loses finished measurements — a rerun repeats only the missing ones.
-    key = f"{job}:{cpus}:{n_rows}"
+    # Keyed by code revision: stale numbers from a previous build must
+    # never masquerade as a fresh measurement.
+    key = f"{job}:{cpus}:{n_rows}:{_code_rev()}"
     cache = _cache()
     if key in cache:
         return cache[key]
