@@ -84,15 +84,14 @@ def main() -> None:
     job = sys.argv[1]
     rows = int(sys.argv[2])
     cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-    # shuffle partitions default: two task waves for the JVM/shuffle jobs
-    # (bench_scaling's protocol — one wave idles cores behind stragglers;
-    # the old "2.5x slower at 2*cpus" note predates the round-5 probe fix
-    # and no longer reproduces), one wave for the worker-bound image job
-    shuf = (
-        int(sys.argv[4])
-        if len(sys.argv) > 4
-        else (cpus if job == "image" else 2 * cpus)
-    )
+    # shuffle partitions default: ONE task wave. Measured both ways on the
+    # round-5 code under the quiet gate: the single-shot regime ran ~8-10%
+    # faster at one wave (frontier 10^8: 17.8s vs 19.7s; tiered: 21.4s vs
+    # 23.1s), while bench_scaling's best-of-3-per-JVM level protocol
+    # measured the opposite (two waves pipeline stragglers there). Each
+    # harness keeps the default its own regime measures faster; every
+    # recorded shot notes its partition count.
+    shuf = int(sys.argv[4]) if len(sys.argv) > 4 else cpus
     job_fn, warm_floor = JOBS[job]
     spark = get_spark(f"bigshot-{job}-{cpus}", parallelism=cpus,
                       shuffle_partitions=shuf,
