@@ -83,27 +83,16 @@ def ngram_jaccard_pairs(
     threshold is applied as an exact integer inequality, jaccard is a
     4dp convenience column.
     """
-    # Exploded codegen shingling instead of explode(shingle_hashes(...)):
-    # the higher-order-function array path (transform → substring,
-    # array_distinct, transform → md5) evaluates INTERPRETED, which
-    # measured 8x slower than building the same distinct (doc, gram)
-    # rows with explode + Column.substr + md5 in whole-stage codegen.
-    # Distinct runs on the gram STRINGS (then hashes), exactly like
-    # array_distinct-then-hash, so md5-prefix collisions count the same
-    # and the DuckDB oracle is unchanged. Checkpointed: three consumers
-    # (sizes + both join sides) read one materialization.
-    t = F.col(text_col)
-    ex = (
-        df.filter(F.length(t) >= k)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            t.alias("__t"),
-            F.explode(F.sequence(F.lit(1), F.length(t) - k + 1)).alias("__i"),
-        )
-        .select("doc_id", F.col("__t").substr(F.col("__i"), F.lit(k)).alias("g"))
-        .distinct()
-        .select("doc_id", md5_long(F.col("g")).alias("h"))
-    )
+    # The r5 speedups live in the PLAN, not the shingling: the exploded
+    # shingle set is checkpointed once for its three consumers (sizes +
+    # both join sides — previously recomputed per consumer), and the
+    # self-join is shuffle-hash (below). An exploded substr+md5+distinct
+    # codegen formulation of the shingling itself measured EQUAL to this
+    # array form on a quiet host (an early "8x" reading was measurement
+    # contention) while costing an extra distinct shuffle — array_distinct
+    # does that work per-row, shuffle-free.
+    sh = _shingled(df, id_col, text_col, k)
+    ex = sh.select("doc_id", F.explode("shingles").alias("h"))
     if max_df is not None:
         keep = ex.groupBy("h").count().filter(F.col("count") <= max_df).select("h")
         ex = ex.join(keep, "h", "left_semi")
